@@ -1,0 +1,94 @@
+"""Tile binning: instance duplication + depth sort + tile ranges (JAX/XLA).
+
+The TPU-native replacement for the CUB pipeline in the reference
+(rasterizer_impl.cu:290-334: inclusive scan -> duplicateWithKeys -> radix
+sort on (tileID | depth-bits) -> identifyTileRanges).  Instead of a
+data-dependent instance count we use a *static instance budget* B:
+
+  * offsets = exclusive cumsum of per-primitive tile coverage,
+  * instance i -> owning primitive via searchsorted (a vectorized inverse
+    of the per-thread rect loop in duplicateWithKeys),
+  * one stable multi-key lax.sort on (tile_id, depth_bits) — bitcasting the
+    positive f32 depth to int32 preserves order exactly as the CUDA radix
+    sort over the raw bit pattern does (rasterizer_impl.cu:110-112),
+  * per-tile [start, end) ranges via searchsorted over the sorted tile ids.
+
+Everything is O(B log B) with static shapes; overflow beyond the budget is
+clamped (instances past B drop, reported via `num_rendered` so callers can
+re-run with a larger bucket).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from reduced3dgs_tpu.ops.preprocess import PreprocessOut, tile_grid
+
+
+class BinningOut(NamedTuple):
+    gauss_id: jnp.ndarray  # (B,) int32 sorted primitive index per instance
+    tile_id: jnp.ndarray  # (B,) int32 sorted tile id (num_tiles = padding)
+    tile_ranges: jnp.ndarray  # (num_tiles, 2) int32 [start, end)
+    num_rendered: jnp.ndarray  # () int32 true instance count (may exceed B)
+
+
+def depth_key(depths):
+    """f32 depth -> monotone int32 key (positive depths only, which the
+    frustum cull guarantees: z > 0.2)."""
+    return jax.lax.bitcast_convert_type(depths, jnp.int32)
+
+
+def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int) -> BinningOut:
+    """Build the sorted per-tile instance lists.
+
+    Args:
+      prep: preprocess outputs (rects already clipped to the tile grid).
+      budget: static instance capacity B.
+    """
+    grid_x, grid_y = tile_grid(width, height)
+    num_tiles = grid_x * grid_y
+    P = prep.tiles_touched.shape[0]
+
+    counts = prep.tiles_touched.astype(jnp.int32)  # (P,)
+    offsets = jnp.cumsum(counts)  # inclusive
+    num_rendered = offsets[-1] if P > 0 else jnp.int32(0)
+    starts = offsets - counts  # exclusive
+
+    # instance slot -> owning primitive: smallest g with offsets[g] > i
+    slot = jnp.arange(budget, dtype=jnp.int32)
+    gauss = jnp.searchsorted(offsets, slot, side="right").astype(jnp.int32)
+    in_range = slot < jnp.minimum(num_rendered, budget)
+    gauss_c = jnp.clip(gauss, 0, P - 1)
+
+    # rank within the primitive's rect -> tile coordinates, row-major over
+    # the rect exactly like the nested loop in duplicateWithKeys
+    # (rasterizer_impl.cu:97-116).
+    rank = slot - starts[gauss_c]
+    rect_min = prep.rect_min[gauss_c]  # (B,2)
+    rect_w = jnp.maximum(prep.rect_max[gauss_c, 0] - rect_min[:, 0], 1)
+    ty = rect_min[:, 1] + rank // rect_w
+    tx = rect_min[:, 0] + rank % rect_w
+    tile = ty * grid_x + tx
+
+    # padding instances sort to the end (tile == num_tiles)
+    tile = jnp.where(in_range, tile, num_tiles).astype(jnp.int32)
+    dkey = jnp.where(in_range, depth_key(prep.depths[gauss_c]), jnp.int32(2**31 - 1))
+
+    tile_s, _, gauss_s = jax.lax.sort(
+        (tile, dkey, gauss_c), num_keys=2, is_stable=True
+    )
+
+    tile_idx = jnp.arange(num_tiles, dtype=jnp.int32)
+    range_start = jnp.searchsorted(tile_s, tile_idx, side="left").astype(jnp.int32)
+    range_end = jnp.searchsorted(tile_s, tile_idx, side="right").astype(jnp.int32)
+    tile_ranges = jnp.stack([range_start, range_end], axis=-1)
+
+    return BinningOut(
+        gauss_id=gauss_s,
+        tile_id=tile_s,
+        tile_ranges=tile_ranges,
+        num_rendered=num_rendered,
+    )
