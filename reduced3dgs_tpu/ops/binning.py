@@ -11,7 +11,12 @@ data-dependent instance count we use a *static instance budget* B:
   * one stable multi-key lax.sort on (tile_id, depth_bits) — bitcasting the
     positive f32 depth to int32 preserves order exactly as the CUDA radix
     sort over the raw bit pattern does (rasterizer_impl.cu:110-112),
-  * per-tile [start, end) ranges via searchsorted over the sorted tile ids.
+  * per-tile [start, end) ranges via searchsorted over the sorted tile ids,
+  * a final *K-aligned scatter*: every tile's range is relocated to start
+    at a multiple of K (the Pallas chunk width), so the tile kernels DMA
+    lane-aligned (16, K) blocks and chunk windows never cross tiles.  The
+    alignment slack is at most num_tiles*(K-1) slots, marked with
+    tile_id == num_tiles and primitive id 0 and masked everywhere.
 
 Everything is O(B log B) with static shapes; overflow beyond the budget is
 clamped (instances past B drop, reported via `num_rendered` so callers can
@@ -27,12 +32,20 @@ import jax.numpy as jnp
 
 from reduced3dgs_tpu.ops.preprocess import PreprocessOut, tile_grid
 
+ALIGN = 128  # must equal tile_render.K
+
 
 class BinningOut(NamedTuple):
-    gauss_id: jnp.ndarray  # (B,) int32 sorted primitive index per instance
-    tile_id: jnp.ndarray  # (B,) int32 sorted tile id (num_tiles = padding)
-    tile_ranges: jnp.ndarray  # (num_tiles, 2) int32 [start, end)
-    num_rendered: jnp.ndarray  # () int32 true instance count (may exceed B)
+    gauss_id: jnp.ndarray  # (B_pad,) int32 primitive index per aligned slot
+    tile_id: jnp.ndarray  # (B_pad,) int32 tile per slot (num_tiles = padding)
+    tile_ranges: jnp.ndarray  # (num_tiles, 2) int32 [start, end), K-aligned starts
+    num_rendered: jnp.ndarray  # () int32 true instance count (may exceed budget)
+    total_padded: jnp.ndarray  # () int32 end of the written aligned region
+
+
+def padded_size(budget: int, width: int, height: int) -> int:
+    gx, gy = tile_grid(width, height)
+    return budget + gx * gy * ALIGN
 
 
 def depth_key(depths):
@@ -42,26 +55,26 @@ def depth_key(depths):
 
 
 def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int) -> BinningOut:
-    """Build the sorted per-tile instance lists.
+    """Build the sorted, K-aligned per-tile instance lists.
 
     Args:
       prep: preprocess outputs (rects already clipped to the tile grid).
-      budget: static instance capacity B.
+      budget: static instance capacity B (pre-alignment).
     """
     grid_x, grid_y = tile_grid(width, height)
     num_tiles = grid_x * grid_y
-    P = prep.tiles_touched.shape[0]
+    p = prep.tiles_touched.shape[0]
 
     counts = prep.tiles_touched.astype(jnp.int32)  # (P,)
     offsets = jnp.cumsum(counts)  # inclusive
-    num_rendered = offsets[-1] if P > 0 else jnp.int32(0)
+    num_rendered = offsets[-1] if p > 0 else jnp.int32(0)
     starts = offsets - counts  # exclusive
 
     # instance slot -> owning primitive: smallest g with offsets[g] > i
     slot = jnp.arange(budget, dtype=jnp.int32)
     gauss = jnp.searchsorted(offsets, slot, side="right").astype(jnp.int32)
     in_range = slot < jnp.minimum(num_rendered, budget)
-    gauss_c = jnp.clip(gauss, 0, P - 1)
+    gauss_c = jnp.clip(gauss, 0, p - 1)
 
     # rank within the primitive's rect -> tile coordinates, row-major over
     # the rect exactly like the nested loop in duplicateWithKeys
@@ -84,11 +97,31 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int) -> 
     tile_idx = jnp.arange(num_tiles, dtype=jnp.int32)
     range_start = jnp.searchsorted(tile_s, tile_idx, side="left").astype(jnp.int32)
     range_end = jnp.searchsorted(tile_s, tile_idx, side="right").astype(jnp.int32)
-    tile_ranges = jnp.stack([range_start, range_end], axis=-1)
+    tcounts = range_end - range_start
+
+    # --- K-aligned relocation ---------------------------------------------
+    padded = ((tcounts + ALIGN - 1) // ALIGN) * ALIGN
+    new_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1]]
+    )
+    total_padded = new_start[-1] + padded[-1] if num_tiles > 0 else jnp.int32(0)
+    b_pad = padded_size(budget, width, height)
+
+    src_ok = tile_s < num_tiles
+    t_safe = jnp.clip(tile_s, 0, num_tiles - 1)
+    pos = jnp.arange(budget, dtype=jnp.int32) - range_start[t_safe]
+    new_idx = jnp.where(src_ok, new_start[t_safe] + pos, b_pad)
+
+    gauss_a = jnp.zeros((b_pad,), jnp.int32).at[new_idx].set(gauss_s, mode="drop")
+    tile_a = jnp.full((b_pad,), num_tiles, jnp.int32).at[new_idx].set(
+        tile_s, mode="drop"
+    )
+    tile_ranges = jnp.stack([new_start, new_start + tcounts], axis=-1)
 
     return BinningOut(
-        gauss_id=gauss_s,
-        tile_id=tile_s,
+        gauss_id=gauss_a,
+        tile_id=tile_a,
         tile_ranges=tile_ranges,
         num_rendered=num_rendered,
+        total_padded=total_padded,
     )

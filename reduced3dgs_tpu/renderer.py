@@ -1,0 +1,109 @@
+"""Renderer facade: the TPU equivalent of gaussian_renderer/__init__.py.
+
+`render()` mirrors the reference's render(viewpoint, pc, pipe, bg)
+(gaussian_renderer/__init__.py:19-148): it takes raw Gaussian parameters +
+a camera, runs preprocess -> tile binning -> alpha compositing, and returns
+a dict with the rendered image, radii and visibility filter.  Unlike the
+reference there is no autograd.Function bridge — everything downstream of
+the raw parameters is one differentiable JAX graph, so `jax.grad` of a
+scalar loss of the output gives exactly the gradients the hand-written
+CUDA backward produces (incl. the clamp masks and the sigmoid chain rule).
+
+Backends:
+  * "xla"    — pure-jnp oracle compositor (ops/render_ref.py), O(pixels*B);
+               runs everywhere, used as ground truth.
+  * "pallas" — tiled Pallas kernels (ops/tile_render.py) with a custom VJP;
+               the production TPU path.
+
+Static-shape note: the per-frame instance count is data-dependent in the
+reference (num_rendered); here callers pass a static `instance_budget`
+(bucketed powers of two) and `out.num_rendered` reports the true count so
+the host can grow the bucket when it overflows.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from reduced3dgs_tpu.ops import binning as binning_ops
+from reduced3dgs_tpu.ops import preprocess as prep_ops
+from reduced3dgs_tpu.ops.preprocess import CameraParams
+
+
+class RenderOut(NamedTuple):
+    color: jnp.ndarray  # (H,W,3)
+    final_t: jnp.ndarray  # (H,W)
+    radii: jnp.ndarray  # (P,) int32
+    visibility: jnp.ndarray  # (P,) bool (radii > 0)
+    means2d: jnp.ndarray  # (P,2) pixel centers (for densification grads)
+    num_rendered: jnp.ndarray  # () int32
+    transmittance_sum: jnp.ndarray | None = None  # (P,) optional
+    pixels_touched: jnp.ndarray | None = None  # (P,) optional
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "instance_budget", "backend", "want_transmittance",
+    ),
+)
+def render(
+    xyz,
+    features,  # (P, 16, 3) SH coefficients (dc + rest)
+    scaling_raw,  # (P, 3) log-scales
+    rotation_raw,  # (P, 4) unnormalized quaternions
+    opacity_raw,  # (P,) raw (pre-sigmoid)
+    degrees,  # (P,) int32
+    cam: CameraParams,
+    background,  # (3,)
+    *,
+    width: int,
+    height: int,
+    instance_budget: int,
+    alive_mask=None,
+    scale_modifier: float = 1.0,
+    backend: str = "xla",
+    want_transmittance: bool = False,
+) -> RenderOut:
+    prep = prep_ops.preprocess(
+        xyz, scaling_raw, rotation_raw, opacity_raw, features, degrees, cam,
+        alive_mask=alive_mask, scale_modifier=scale_modifier,
+    )
+    b = binning_ops.bin_gaussians(prep, width, height, instance_budget)
+
+    if backend == "xla":
+        from reduced3dgs_tpu.ops.render_ref import render_ref
+
+        out = render_ref(
+            prep, b, background, width, height,
+            want_transmittance=want_transmittance,
+        )
+        if want_transmittance:
+            color, final_t, g_trans, g_touch = out
+        else:
+            color, final_t = out
+            g_trans = g_touch = None
+    elif backend == "pallas":
+        from reduced3dgs_tpu.ops.tile_render import tile_render
+
+        color, final_t, g_trans, g_touch = tile_render(
+            prep, b, background, width, height,
+            want_transmittance=want_transmittance,
+        )
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    return RenderOut(
+        color=color,
+        final_t=final_t,
+        radii=prep.radii,
+        visibility=prep.radii > 0,
+        means2d=prep.means2d,
+        num_rendered=b.num_rendered,
+        transmittance_sum=g_trans,
+        pixels_touched=g_touch,
+    )
