@@ -80,6 +80,7 @@ def preprocess(
     color_precomp=None,
     cov3d_precomp=None,
     activate_scales=True,
+    screen_offset=None,
 ):
     """Project + cull + shade all primitives.
 
@@ -116,6 +117,11 @@ def preprocess(
         [tf.ndc2pix(p_proj[:, 0], cam.width), tf.ndc2pix(p_proj[:, 1], cam.height)],
         axis=-1,
     )
+    if screen_offset is not None:
+        # Zero-valued hook whose cotangent is dL/dmean2d — the JAX
+        # equivalent of the reference's screenspace_points grad capture
+        # (gaussian_renderer/__init__.py:27-31) used for densification.
+        mean2d = mean2d + screen_offset
 
     # --- covariances
     if activate_scales:

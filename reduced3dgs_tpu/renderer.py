@@ -68,10 +68,12 @@ def render(
     scale_modifier: float = 1.0,
     backend: str = "xla",
     want_transmittance: bool = False,
+    screen_offset=None,
 ) -> RenderOut:
     prep = prep_ops.preprocess(
         xyz, scaling_raw, rotation_raw, opacity_raw, features, degrees, cam,
         alive_mask=alive_mask, scale_modifier=scale_modifier,
+        screen_offset=screen_offset,
     )
     b = binning_ops.bin_gaussians(prep, width, height, instance_budget)
 

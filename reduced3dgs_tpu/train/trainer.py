@@ -1,0 +1,260 @@
+"""Training driver — the TPU-native train.py core.
+
+`train_step` is one fully-jitted iteration of the reference hot loop
+(train.py:80-155): render -> loss -> grads -> densification-stat
+accumulation -> Adam.  The host-side `Trainer` owns everything the
+reference does between iterations: random camera order, SH-degree
+schedule, densify/prune/mercy cadence, opacity resets, pool-capacity and
+instance-budget growth (the only recompile triggers), checkpoints.
+
+Loss (train.py:102-115):
+  (1-lambda_dssim) L1 + lambda_dssim (1-SSIM)
+  + lambda_alpha_regul * mean(|sigmoid(opacity)| over visible)
+  + lambda_sh_sparsity * mean(|f_rest| over visible)
+The SH-sparsity term reproduces the gradient the reference injects
+inside its backward kernel (backward.cu:56-131 with the multiplier
+lambda/(num_visible*15*3), rasterizer_impl.cu:549-571) as an explicit,
+mathematically-identical regularizer.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reduced3dgs_tpu.config import OptimizationParams
+from reduced3dgs_tpu.models.gaussians import (
+    GaussianPool, grow, one_up_sh_degree, reset_opacity, round_capacity,
+)
+from reduced3dgs_tpu.ops.losses import l1_loss, ssim
+from reduced3dgs_tpu.ops.preprocess import CameraParams
+from reduced3dgs_tpu.renderer import render
+from reduced3dgs_tpu.train import adam, densify
+from reduced3dgs_tpu.train.adam import AdamState
+
+
+class TrainState(NamedTuple):
+    pool: GaussianPool
+    opt: AdamState
+    key: jnp.ndarray
+
+
+def make_lr_tree(params_like, opt_cfg: OptimizationParams, xyz_lr):
+    """Per-leaf LR pytree (reference's six param groups,
+    gaussian_model.py:207-214)."""
+    return params_like._replace(
+        xyz=xyz_lr,
+        features_dc=jnp.float32(opt_cfg.feature_lr),
+        features_rest=jnp.float32(opt_cfg.feature_lr / 20.0),
+        opacity=jnp.float32(opt_cfg.opacity_lr),
+        scaling=jnp.float32(opt_cfg.scaling_lr),
+        rotation=jnp.float32(opt_cfg.rotation_lr),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "budget", "backend", "opt_cfg",
+                     "spatial_lr_scale", "skip_update"),
+)
+def train_step(state: TrainState, cam: CameraParams, gt_image, background,
+               iteration, *, width, height, budget, backend,
+               opt_cfg: OptimizationParams, spatial_lr_scale: float,
+               skip_update: bool = False):
+    pool, opt, key = state
+    c = pool.capacity
+
+    def loss_fn(params, screen_offset):
+        out = render(
+            params.xyz, jnp.concatenate(
+                [params.features_dc, params.features_rest], axis=1),
+            params.scaling, params.rotation, params.opacity[:, 0],
+            pool.degrees, cam, background,
+            width=width, height=height, instance_budget=budget,
+            alive_mask=pool.alive, backend=backend,
+            screen_offset=screen_offset,
+        )
+        gt = gt_image
+        ll1 = l1_loss(out.color, gt)
+        lssim = 1.0 - ssim(out.color, gt)
+        vis = out.visibility
+        nvis = jnp.maximum(vis.sum(), 1)
+        loss = (1.0 - opt_cfg.lambda_dssim) * ll1 + opt_cfg.lambda_dssim * lssim
+        if opt_cfg.lambda_alpha_regul > 0:
+            op = jax.nn.sigmoid(params.opacity[:, 0])
+            lalpha = jnp.where(vis, jnp.abs(op), 0.0).sum() / nvis
+            loss = loss + opt_cfg.lambda_alpha_regul * lalpha
+        if opt_cfg.lambda_sh_sparsity > 0:
+            lsh = jnp.where(
+                vis[:, None, None], jnp.abs(params.features_rest), 0.0
+            ).sum() / (nvis * 45)
+            loss = loss + opt_cfg.lambda_sh_sparsity * lsh
+        return loss, (out, ll1, lssim)
+
+    screen_offset = jnp.zeros((c, 2), jnp.float32)
+    (loss, (out, ll1, lssim)), (grads, g_screen) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(pool.params, screen_offset)
+
+    # densification statistics (train.py:133-135): viewspace grads are
+    # accumulated in NDC units — g_pixel * (0.5 W, 0.5 H)
+    vis = out.visibility
+    g_ndc = g_screen * jnp.array([0.5 * width, 0.5 * height], jnp.float32)
+    gnorm = jnp.linalg.norm(g_ndc, axis=-1)
+    pool = pool._replace(
+        xyz_grad_accum=pool.xyz_grad_accum + jnp.where(vis, gnorm, 0.0),
+        denom=pool.denom + vis.astype(jnp.float32),
+        max_radii2d=jnp.where(
+            vis, jnp.maximum(pool.max_radii2d, out.radii.astype(jnp.float32)),
+            pool.max_radii2d,
+        ),
+    )
+
+    if skip_update:
+        new_params, new_opt = pool.params, opt
+    else:
+        xyz_lr = adam.expon_lr(
+            iteration.astype(jnp.float32),
+            opt_cfg.position_lr_init * spatial_lr_scale,
+            opt_cfg.position_lr_final * spatial_lr_scale,
+            lr_delay_mult=opt_cfg.position_lr_delay_mult,
+            max_steps=opt_cfg.position_lr_max_steps,
+        )
+        lr_tree = make_lr_tree(grads, opt_cfg, xyz_lr)
+        new_params, new_opt = adam.update(pool.params, grads, opt, lr_tree)
+
+    pool = pool._replace(params=new_params)
+    metrics = {
+        "loss": loss, "l1": ll1, "ssim_loss": lssim,
+        "num_rendered": out.num_rendered,
+        "num_alive": pool.num_alive,
+    }
+    return TrainState(pool, new_opt, key), metrics
+
+
+@functools.partial(jax.jit, static_argnames=("opt_cfg", "use_size_threshold"))
+def densify_step(state: TrainState, extent, *, opt_cfg: OptimizationParams,
+                 use_size_threshold: bool):
+    pool, opt, key = state
+    key, sub = jax.random.split(key)
+    max_screen = 20.0 if use_size_threshold else 0.0
+    pool, opt, _, stats = densify.densify_and_prune(
+        pool, opt, sub, opt_cfg.densify_grad_threshold, 0.005, extent,
+        max_screen, opt_cfg.percent_dense,
+    )
+    return TrainState(pool, opt, key), stats
+
+
+@jax.jit
+def opacity_reset_step(state: TrainState):
+    """reset_opacity + replace_tensor_to_optimizer semantics: zero the
+    opacity Adam moments (gaussian_model.py:313-316, 487-500)."""
+    pool, opt, key = state
+    pool = reset_opacity(pool)
+    opt = opt._replace(
+        mu=opt.mu._replace(opacity=jnp.zeros_like(opt.mu.opacity)),
+        nu=opt.nu._replace(opacity=jnp.zeros_like(opt.nu.opacity)),
+    )
+    return TrainState(pool, opt, key)
+
+
+class Trainer:
+    """Host-side loop controller (reference training(), train.py:36-175)."""
+
+    def __init__(self, pool: GaussianPool, opt_cfg: OptimizationParams,
+                 cameras, *, spatial_lr_scale: float, background,
+                 backend: str = "pallas", max_sh_degree: int = 3,
+                 seed: int = 0, initial_budget: int = 1 << 17):
+        self.opt_cfg = opt_cfg
+        self.cameras = list(cameras)
+        self.spatial_lr_scale = float(spatial_lr_scale)
+        self.background = jnp.asarray(background, jnp.float32)
+        self.backend = backend
+        self.max_sh_degree = max_sh_degree
+        self.state = TrainState(pool, adam.init(pool.params),
+                                jax.random.PRNGKey(seed))
+        self.rng = np.random.default_rng(seed)
+        self.initial_budget = initial_budget
+        self._stack: list[int] = []
+        self.budgets: dict[int, int] = {}  # camera uid -> instance budget
+        self.extent = None  # set by caller (scene cameras_extent)
+        self.stats = {}
+        self.iteration = 0
+
+    # -- camera sampling (train.py:90-92: shuffle-without-replacement) ----
+    def next_camera(self):
+        if not self._stack:
+            self._stack = list(self.rng.permutation(len(self.cameras)))
+        return self.cameras[self._stack.pop()]
+
+    def _budget_for(self, cam_uid, needed=None):
+        b = self.budgets.get(cam_uid, self.initial_budget)
+        while needed is not None and needed > b:
+            b *= 2
+        self.budgets[cam_uid] = b
+        return b
+
+    def maybe_grow_pool(self):
+        n = int(self.state.pool.num_alive)
+        cap = self.state.pool.capacity
+        if n > 0.9 * cap:
+            new_cap = round_capacity(cap * 2)
+            pool = grow(self.state.pool, new_cap)
+            opt = jax.tree.map(
+                lambda m: grow_leaf(m, cap, new_cap), self.state.opt
+            )
+            self.state = TrainState(pool, opt, self.state.key)
+
+    def step(self, iteration: int):
+        """One training iteration; returns the metrics dict (device
+        arrays — only sync what you read)."""
+        cfg = self.opt_cfg
+        self.iteration = iteration
+        if iteration % 1000 == 0:
+            self.state = self.state._replace(
+                pool=one_up_sh_degree(self.state.pool, self.max_sh_degree)
+            )
+        camera = self.next_camera()
+        cp = camera.params()
+        budget = self._budget_for(camera.uid)
+        st, metrics = train_step(
+            self.state, cp, jnp.asarray(camera.image), self.background,
+            jnp.int32(iteration), width=camera.width, height=camera.height,
+            budget=budget, backend=self.backend, opt_cfg=cfg,
+            spatial_lr_scale=self.spatial_lr_scale,
+        )
+        needed = int(metrics["num_rendered"])
+        if needed > budget:
+            # overflow: grow the bucket and redo this step exactly
+            self._budget_for(camera.uid, needed)
+            return self.step(iteration)
+        self.state = st
+
+        # densification cadence (train.py:131-150)
+        if iteration < cfg.densify_until_iter:
+            if (iteration > cfg.densify_from_iter
+                    and iteration % cfg.densification_interval == 0):
+                self.maybe_grow_pool()
+                self.state, dstats = densify_step(
+                    self.state, jnp.float32(self.extent), opt_cfg=cfg,
+                    use_size_threshold=iteration > cfg.opacity_reset_interval,
+                )
+                self.stats.update(
+                    {k: int(v) for k, v in dstats.items()})
+            if iteration % cfg.opacity_reset_interval == 0:
+                self.state = opacity_reset_step(self.state)
+        return metrics
+
+
+def grow_leaf(x, old_cap, new_cap):
+    if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == old_cap:
+        pad = new_cap - old_cap
+        return jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]
+        )
+    return x
