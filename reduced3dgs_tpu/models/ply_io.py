@@ -80,8 +80,11 @@ def save_gaussian_ply(path, pool, codebook_dict=None, quantised=False,
         x = _to_half_bits(xyz[m]) if half_float else xyz[m].astype(np.float32)
         # "rrr ggg bbb": (n, coeffs, 3) -> (n, 3, coeffs) -> flat
         fr = f_rest[m][:, :coeffs].transpose(0, 2, 1).reshape(n, coeffs * 3)
+        def flat2d(c):  # n == 0 safe (np refuses reshape((0, -1)))
+            return c.reshape(n, int(np.prod(c.shape[1:], dtype=np.int64)))
+
         attrs = np.concatenate(
-            [c.reshape(n, -1) for c in
+            [flat2d(c) for c in
              (f_dc[m], fr, opacity[m], scaling[m], rot[m])], axis=1)
         if quantised:
             attrs = attrs.astype(np.uint8)
@@ -95,7 +98,8 @@ def save_gaussian_ply(path, pool, codebook_dict=None, quantised=False,
             for a in names
         ])
         rec = np.empty(n, dtype=dtype)
-        flat = np.concatenate([x.reshape(n, 3), attrs], axis=1)
+        flat = np.concatenate([x.reshape(n, 3) if n else
+                               x.reshape(0, 3), attrs], axis=1)
         for j, a in enumerate(names):
             rec[a] = flat[:, j]
         elements.append((f"vertex_{deg}", rec))

@@ -43,9 +43,10 @@ class BinningOut(NamedTuple):
     total_padded: jnp.ndarray  # () int32 end of the written aligned region
 
 
-def padded_size(budget: int, width: int, height: int) -> int:
+def padded_size(budget: int, width: int, height: int, tile_rows=None) -> int:
     gx, gy = tile_grid(width, height)
-    return budget + gx * gy * ALIGN
+    rows = gy if tile_rows is None else tile_rows[1]
+    return budget + gx * rows * ALIGN
 
 
 def depth_key(depths):
@@ -54,18 +55,37 @@ def depth_key(depths):
     return jax.lax.bitcast_convert_type(depths, jnp.int32)
 
 
-def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int) -> BinningOut:
+def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
+                  tile_rows=None) -> BinningOut:
     """Build the sorted, K-aligned per-tile instance lists.
 
     Args:
       prep: preprocess outputs (rects already clipped to the tile grid).
       budget: static instance capacity B (pre-alignment).
+      tile_rows: optional (r0, num_rows) window of tile rows — instances
+        are binned only for tiles in rows [r0, r0+num_rows) and tile ids
+        are LOCAL to the window (multi-chip image-strip sharding).  r0 may
+        be traced; num_rows must be static.
     """
     grid_x, grid_y = tile_grid(width, height)
-    num_tiles = grid_x * grid_y
+    if tile_rows is None:
+        r0, num_rows = 0, grid_y
+    else:
+        r0, num_rows = tile_rows
+    r1 = r0 + num_rows
+    num_tiles = grid_x * num_rows
     p = prep.tiles_touched.shape[0]
 
-    counts = prep.tiles_touched.astype(jnp.int32)  # (P,)
+    if tile_rows is None:
+        rect_min, rect_max = prep.rect_min, prep.rect_max
+        counts = prep.tiles_touched.astype(jnp.int32)  # (P,)
+    else:
+        ry_min = jnp.clip(prep.rect_min[:, 1], r0, r1)
+        ry_max = jnp.clip(prep.rect_max[:, 1], r0, r1)
+        rect_min = jnp.stack([prep.rect_min[:, 0], ry_min], axis=-1)
+        rect_max = jnp.stack([prep.rect_max[:, 0], ry_max], axis=-1)
+        counts = (rect_max[:, 0] - rect_min[:, 0]) * (ry_max - ry_min)
+        counts = jnp.maximum(counts, 0).astype(jnp.int32)
     offsets = jnp.cumsum(counts)  # inclusive
     num_rendered = offsets[-1] if p > 0 else jnp.int32(0)
     starts = offsets - counts  # exclusive
@@ -80,11 +100,11 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int) -> 
     # the rect exactly like the nested loop in duplicateWithKeys
     # (rasterizer_impl.cu:97-116).
     rank = slot - starts[gauss_c]
-    rect_min = prep.rect_min[gauss_c]  # (B,2)
-    rect_w = jnp.maximum(prep.rect_max[gauss_c, 0] - rect_min[:, 0], 1)
-    ty = rect_min[:, 1] + rank // rect_w
-    tx = rect_min[:, 0] + rank % rect_w
-    tile = ty * grid_x + tx
+    rmin = rect_min[gauss_c]  # (B,2)
+    rect_w = jnp.maximum(rect_max[gauss_c, 0] - rmin[:, 0], 1)
+    ty = rmin[:, 1] + rank // rect_w
+    tx = rmin[:, 0] + rank % rect_w
+    tile = (ty - r0) * grid_x + tx  # local tile id within the window
 
     # padding instances sort to the end (tile == num_tiles)
     tile = jnp.where(in_range, tile, num_tiles).astype(jnp.int32)
@@ -105,7 +125,7 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int) -> 
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1]]
     )
     total_padded = new_start[-1] + padded[-1] if num_tiles > 0 else jnp.int32(0)
-    b_pad = padded_size(budget, width, height)
+    b_pad = padded_size(budget, width, height, tile_rows)
 
     src_ok = tile_s < num_tiles
     t_safe = jnp.clip(tile_s, 0, num_tiles - 1)

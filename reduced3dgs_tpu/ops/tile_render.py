@@ -167,12 +167,14 @@ def _pixel_coords(t, grid_x, width, height):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(grid_x, width, height, max_chunks,
-                ranges_ref, feat_hbm, color_ref, t_ref, nc_ref,
+                base_ref, ranges_ref, feat_hbm, color_ref, t_ref, nc_ref,
                 buf, sem):
     t = pl.program_id(0)
     start = pl.multiple_of(ranges_ref[t, 0], K)  # binning guarantees K-aligned
     end = ranges_ref[t, 1]
-    pxf, pyf, pix_ok = _pixel_coords(t, grid_x, width, height)
+    # base_ref[0] = first global tile of this strip (multi-chip tile
+    # sharding); pixel coordinates are global.
+    pxf, pyf, pix_ok = _pixel_coords(base_ref[0] + t, grid_x, width, height)
 
     n_chunks = jnp.minimum(pl.cdiv(end - start, K), max_chunks)
 
@@ -255,12 +257,12 @@ def _zero_fill_tail(vbuf, out_hbm, sem, start, i_from, i_to):
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(grid_x, width, height, max_chunks,
-                ranges_ref, feat_hbm, gcol_ref, gt_ref, col_ref, tfin_ref,
-                dfeat_hbm, buf, dbuf, sem, dsem):
+                base_ref, ranges_ref, feat_hbm, gcol_ref, gt_ref, col_ref,
+                tfin_ref, dfeat_hbm, buf, dbuf, sem, dsem):
     t = pl.program_id(0)
     start = pl.multiple_of(ranges_ref[t, 0], K)  # binning guarantees K-aligned
     end = ranges_ref[t, 1]
-    pxf, pyf, pix_ok = _pixel_coords(t, grid_x, width, height)
+    pxf, pyf, pix_ok = _pixel_coords(base_ref[0] + t, grid_x, width, height)
 
     n_chunks = jnp.minimum(pl.cdiv(end - start, K), max_chunks)
     g = gcol_ref[0]  # (256, 3) dL/dC
@@ -305,7 +307,7 @@ def _bwd_kernel(grid_x, width, height, max_chunks,
         one_m = jnp.where(contrib, 1.0 - a, 1.0)
         # per-channel: wc[p,i] = w * rgb_c[i]; prefix_incl over lanes
         dalpha = jnp.zeros((NPIX, K), jnp.float32)
-        new_prefix = prefix
+        prefix_cols = []
         for ch in range(3):
             c_ch = st["rgb"][ch : ch + 1, :]  # (1, K)
             wc = w * c_ch
@@ -313,7 +315,8 @@ def _bwd_kernel(grid_x, width, height, max_chunks,
             s_i = s_total[:, ch : ch + 1] - pref_incl  # (256, K)
             g_ch = g[:, ch : ch + 1]
             dalpha = dalpha + g_ch * (c_ch * t_exc - s_i / one_m)
-            new_prefix = new_prefix.at[:, ch].set(pref_incl[:, K - 1])
+            prefix_cols.append(pref_incl[:, K - 1 : K])
+        new_prefix = jnp.concatenate(prefix_cols, axis=1)  # (256, 3)
         # final-transmittance cotangent: dT_fin/dalpha_i = -T_fin/(1-a_i)
         dalpha = dalpha - g_t * t_fin / one_m
         dalpha = jnp.where(contrib, dalpha, 0.0)
@@ -376,11 +379,12 @@ def _bwd_kernel(grid_x, width, height, max_chunks,
 # ---------------------------------------------------------------------------
 
 def _trans_kernel(grid_x, width, height, max_chunks,
-                  ranges_ref, feat_hbm, acc_hbm, buf, abuf, sem, asem):
+                  base_ref, ranges_ref, feat_hbm, acc_hbm, buf, abuf, sem,
+                  asem):
     t = pl.program_id(0)
     start = pl.multiple_of(ranges_ref[t, 0], K)  # binning guarantees K-aligned
     end = ranges_ref[t, 1]
-    pxf, pyf, pix_ok = _pixel_coords(t, grid_x, width, height)
+    pxf, pyf, pix_ok = _pixel_coords(base_ref[0] + t, grid_x, width, height)
     n_chunks = jnp.minimum(pl.cdiv(end - start, K), max_chunks)
 
     def dma_in(i, slot):
@@ -441,7 +445,7 @@ def _trans_kernel(grid_x, width, height, max_chunks,
 @functools.cache
 def _build_fwd(num_tiles, grid_x, width, height, b_pad, max_chunks, interpret):
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
@@ -473,7 +477,7 @@ def _build_fwd(num_tiles, grid_x, width, height, b_pad, max_chunks, interpret):
 @functools.cache
 def _build_bwd(num_tiles, grid_x, width, height, b_pad, max_chunks, interpret):
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # feat
@@ -506,7 +510,7 @@ def _build_bwd(num_tiles, grid_x, width, height, b_pad, max_chunks, interpret):
 @functools.cache
 def _build_trans(num_tiles, grid_x, width, height, b_pad, max_chunks, interpret):
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
@@ -569,40 +573,40 @@ def _image_to_tiles(img, grid_x, grid_y, width, height):
 # custom-VJP core: per-Gaussian arrays in, tile images out
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def _rasterize_core(means2d, conic, opacity, color, gauss_id, ranges,
-                    total_padded, width, height):
+                    total_padded, base, width, height, num_rows):
     out, _ = _rasterize_fwd(means2d, conic, opacity, color, gauss_id, ranges,
-                            total_padded, width, height)
+                            total_padded, base, width, height, num_rows)
     return out
 
 
 def _rasterize_fwd(means2d, conic, opacity, color, gauss_id, ranges,
-                   total_padded, width, height):
-    grid_x, grid_y = tile_grid(width, height)
-    num_tiles = grid_x * grid_y
+                   total_padded, base, width, height, num_rows):
+    grid_x, _ = tile_grid(width, height)
+    num_tiles = num_rows * grid_x
     feat, b_pad = _pack_features(means2d, conic, opacity, color, gauss_id)
     max_chunks = pl.cdiv(gauss_id.shape[0], K)
     fwd = _build_fwd(num_tiles, grid_x, width, height, b_pad, max_chunks,
                      _interpret())
-    col_t, t_t, nc_t = fwd(ranges, feat)
+    col_t, t_t, nc_t = fwd(base, ranges, feat)
     out = (col_t, t_t, nc_t)
-    res = (feat, gauss_id, ranges, total_padded, col_t, t_t,
+    res = (feat, gauss_id, ranges, total_padded, base, col_t, t_t,
            means2d.shape[0])
     return out, res
 
 
-def _rasterize_bwd(width, height, res, cot):
-    feat, gauss_id, ranges, total_padded, col_t, t_t, num_p = res
+def _rasterize_bwd(width, height, num_rows, res, cot):
+    feat, gauss_id, ranges, total_padded, base, col_t, t_t, num_p = res
     g_col, g_t, _ = cot
-    grid_x, grid_y = tile_grid(width, height)
-    num_tiles = grid_x * grid_y
+    grid_x, _ = tile_grid(width, height)
+    num_tiles = num_rows * grid_x
     b_pad = feat.shape[1]
     b = gauss_id.shape[0]
     max_chunks = pl.cdiv(b, K)
     bwd = _build_bwd(num_tiles, grid_x, width, height, b_pad, max_chunks,
                      _interpret())
-    (dfeat,) = bwd(ranges, feat, g_col, g_t, col_t, t_t)
+    (dfeat,) = bwd(base, ranges, feat, g_col, g_t, col_t, t_t)
 
     # slots past the aligned region were never written (garbage); inside
     # it, padding slots hold written zeros.
@@ -620,7 +624,9 @@ def _rasterize_bwd(width, height, res, cot):
     zero_i = np.zeros(gauss_id.shape, jax.dtypes.float0)
     zero_r = np.zeros(ranges.shape, jax.dtypes.float0)
     zero_n = np.zeros((), jax.dtypes.float0)
-    return (d_means2d, d_conic, d_opacity, d_color, zero_i, zero_r, zero_n)
+    zero_b = np.zeros(base.shape, jax.dtypes.float0)
+    return (d_means2d, d_conic, d_opacity, d_color, zero_i, zero_r, zero_n,
+            zero_b)
 
 
 _rasterize_core.defvjp(_rasterize_fwd, _rasterize_bwd)
@@ -631,20 +637,36 @@ _rasterize_core.defvjp(_rasterize_fwd, _rasterize_bwd)
 # ---------------------------------------------------------------------------
 
 def tile_render(prep: PreprocessOut, binning: BinningOut, background,
-                width: int, height: int, want_transmittance: bool = False):
+                width: int, height: int, want_transmittance: bool = False,
+                tile_rows=None):
     """Pallas-rendered image with reference-parity semantics.
 
-    Returns (color (H,W,3), final_T (H,W), trans_sum (P,)|None,
+    tile_rows=(r0, num_rows) renders only that horizontal strip of tile
+    rows (multi-chip image sharding).  r0 may be a traced value (it comes
+    from jax.lax.axis_index under shard_map); num_rows must be static.
+    The strip image has exactly num_rows*16 pixel rows starting at
+    r0*16; rows past the true image height composite to pure background
+    (the kernels mask them) and are cropped by the caller.
+
+    Returns (color (h,W,3), final_T (h,W), trans_sum (P,)|None,
     touched (P,)|None).
     """
     grid_x, grid_y = tile_grid(width, height)
+    if tile_rows is None:
+        r0, num_rows = 0, grid_y
+        crop_h = height
+    else:
+        r0, num_rows = tile_rows
+        crop_h = num_rows * TILE_Y
     ranges = binning.tile_ranges
+    base = (jnp.asarray(r0, jnp.int32) * grid_x).reshape(1)
     col_t, t_t, _nc_t = _rasterize_core(
         prep.means2d, prep.conic, prep.opacity, prep.color,
-        binning.gauss_id, ranges, binning.total_padded, width, height,
+        binning.gauss_id, ranges, binning.total_padded, base, width, height,
+        num_rows,
     )
-    color = _tiles_to_image(col_t, grid_x, grid_y, width, height)
-    t_fin = _tiles_to_image(t_t, grid_x, grid_y, width, height)[:, :, 0]
+    color = _tiles_to_image(col_t, grid_x, num_rows, width, crop_h)
+    t_fin = _tiles_to_image(t_t, grid_x, num_rows, width, crop_h)[:, :, 0]
     bg = jnp.asarray(background, jnp.float32)
     color = color + t_fin[:, :, None] * bg[None, None, :]
 
@@ -655,9 +677,9 @@ def tile_render(prep: PreprocessOut, binning: BinningOut, background,
         )
         b = binning.gauss_id.shape[0]
         max_chunks = pl.cdiv(b, K)
-        trans = _build_trans(grid_x * grid_y, grid_x, width, height, b_pad,
+        trans = _build_trans(num_rows * grid_x, grid_x, width, height, b_pad,
                              max_chunks, _interpret())
-        (acc,) = trans(ranges, feat)
+        (acc,) = trans(base, ranges, feat)
         slot = jnp.arange(b, dtype=jnp.int32)
         live = slot < binning.total_padded
         acc = jnp.where(live[None, :], acc, 0.0)

@@ -49,6 +49,7 @@ class RenderOut(NamedTuple):
     jax.jit,
     static_argnames=(
         "width", "height", "instance_budget", "backend", "want_transmittance",
+        "strip_rows",
     ),
 )
 def render(
@@ -69,15 +70,21 @@ def render(
     backend: str = "xla",
     want_transmittance: bool = False,
     screen_offset=None,
+    strip_r0=None,
+    strip_rows: int | None = None,
 ) -> RenderOut:
     prep = prep_ops.preprocess(
         xyz, scaling_raw, rotation_raw, opacity_raw, features, degrees, cam,
         alive_mask=alive_mask, scale_modifier=scale_modifier,
         screen_offset=screen_offset,
     )
-    b = binning_ops.bin_gaussians(prep, width, height, instance_budget)
+    tile_rows = None if strip_rows is None else (strip_r0, strip_rows)
+    b = binning_ops.bin_gaussians(prep, width, height, instance_budget,
+                                  tile_rows=tile_rows)
 
     if backend == "xla":
+        if tile_rows is not None:
+            raise NotImplementedError("strip rendering is pallas-only")
         from reduced3dgs_tpu.ops.render_ref import render_ref
 
         out = render_ref(
@@ -94,7 +101,7 @@ def render(
 
         color, final_t, g_trans, g_touch = tile_render(
             prep, b, background, width, height,
-            want_transmittance=want_transmittance,
+            want_transmittance=want_transmittance, tile_rows=tile_rows,
         )
     else:
         raise ValueError(f"unknown backend {backend!r}")

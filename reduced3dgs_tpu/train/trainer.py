@@ -150,6 +150,25 @@ def densify_step(state: TrainState, extent, *, opt_cfg: OptimizationParams,
     return TrainState(pool, opt, key), stats
 
 
+@functools.partial(jax.jit, static_argnames=("mercy_type",))
+def mercy_step(state: TrainState, splat_counts, *, lambda_mercy,
+               mercy_minimum, mercy_type):
+    pool, opt, key = state
+    key, sub = jax.random.split(key)
+    pool, opt, stats = densify.mercy_points(
+        pool, opt, sub, splat_counts, lambda_mercy=lambda_mercy,
+        mercy_minimum=mercy_minimum, mercy_type=mercy_type)
+    return TrainState(pool, opt, key), stats
+
+
+@jax.jit
+def prune_dead_step(state: TrainState, extent):
+    """prune(1/255) of dead points (train.py:143-144, 164-166)."""
+    pool, opt, key = state
+    pool, opt, n = densify.prune(pool, opt, 1.0 / 255.0, extent, 0.0)
+    return TrainState(pool, opt, key), n
+
+
 @jax.jit
 def opacity_reset_step(state: TrainState):
     """reset_opacity + replace_tensor_to_optimizer semantics: zero the
@@ -169,7 +188,8 @@ class Trainer:
     def __init__(self, pool: GaussianPool, opt_cfg: OptimizationParams,
                  cameras, *, spatial_lr_scale: float, background,
                  backend: str = "pallas", max_sh_degree: int = 3,
-                 seed: int = 0, initial_budget: int = 1 << 17):
+                 seed: int = 0, initial_budget: int = 1 << 17,
+                 cull_sh_iterations=(), scene=None):
         self.opt_cfg = opt_cfg
         self.cameras = list(cameras)
         self.spatial_lr_scale = float(spatial_lr_scale)
@@ -180,6 +200,12 @@ class Trainer:
                                 jax.random.PRNGKey(seed))
         self.rng = np.random.default_rng(seed)
         self.initial_budget = initial_budget
+        self.cull_sh_iterations = tuple(cull_sh_iterations)
+        self.scene = scene  # needed for the redundancy metric (mercy)
+        # compression fine-tune phase start (train.py:59-61)
+        self.fine_tune_start = opt_cfg.iterations
+        if self.cull_sh_iterations or opt_cfg.mercy_points:
+            self.fine_tune_start = opt_cfg.iterations - 3000
         self._stack: list[int] = []
         self.budgets: dict[int, int] = {}  # camera uid -> instance budget
         self.extent = None  # set by caller (scene cameras_extent)
@@ -248,6 +274,41 @@ class Trainer:
                     {k: int(v) for k, v in dstats.items()})
             if iteration % cfg.opacity_reset_interval == 0:
                 self.state = opacity_reset_step(self.state)
+        elif (cfg.prune_dead_points
+              and iteration % cfg.densification_interval == 0):
+            self.state, n = prune_dead_step(
+                self.state, jnp.float32(self.extent))
+            self.stats["n_points_pruned"] = int(n)
+
+        # mercy culling cadence (train.py:146-150)
+        if (cfg.mercy_points and self.scene is not None
+                and iteration % (cfg.mercy_interval
+                                 * cfg.densification_interval) == 0
+                and iteration <= self.fine_tune_start
+                and (iteration >= cfg.densify_until_iter
+                     or iteration % cfg.opacity_reset_interval != 0)):
+            self.scene.pool = self.state.pool
+            red, _ = self.scene.calculate_redundancy_metric(
+                pixel_scale=cfg.box_size)
+            self.state, mstats = mercy_step(
+                self.state, red, lambda_mercy=cfg.lambda_mercy,
+                mercy_minimum=cfg.mercy_minimum, mercy_type=cfg.mercy_type)
+            self.stats["n_points_mercied"] = int(mstats["n_points_mercied"])
+
+        # adaptive SH-band culling (train.py:168-170)
+        if iteration in self.cull_sh_iterations:
+            from reduced3dgs_tpu.ops.sh_culling import cull_sh_bands
+
+            pool = cull_sh_bands(
+                self.state.pool, self.cameras,
+                threshold=cfg.cdist_threshold * np.sqrt(3) / 255.0,
+                std_threshold=cfg.std_threshold,
+                budget=max(self.budgets.values(),
+                           default=self.initial_budget),
+                backend=self.backend, max_sh_degree=self.max_sh_degree,
+                active_sh_degree=int(self.state.pool.active_sh_degree),
+            )
+            self.state = self.state._replace(pool=pool)
         return metrics
 
 

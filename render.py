@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Rendering/eval CLI — mirror of /root/reference/render.py.
+
+Loads a trained model dir (self-describing via cfg_args) and renders the
+train/test splits for each requested model variant:
+
+  baseline        point_cloud.ply
+  quantised       point_cloud_quantised.ply
+  quantised_half  point_cloud_quantised_half.ply
+
+plus per-view FPS measurement (render.py:43-51: one warmup pass, then a
+timed pass per view; here device-synchronized wall clock instead of CUDA
+events).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from argparse import ArgumentParser
+
+import numpy as np
+
+MODELS_CONFIG = {
+    "baseline": {"quantised": False, "half_float": False},
+    "quantised": {"quantised": True, "half_float": False},
+    "quantised_half": {"quantised": True, "half_float": True},
+}
+
+
+def main():
+    from reduced3dgs_tpu.platform import setup
+
+    setup()
+
+    from reduced3dgs_tpu import config as C
+
+    parser = ArgumentParser(description="Testing script parameters")
+    C.add_model_params(parser, fill_none=True)
+    C.add_pipeline_params(parser)
+    parser.add_argument("--iteration", default=-1, type=int)
+    parser.add_argument("--skip_train", action="store_true")
+    parser.add_argument("--skip_test", action="store_true")
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--models", nargs="+", type=str,
+                        default=["baseline", "quantised_half"])
+    args = C.get_combined_args(parser)
+    print(f"Rendering {args.model_path}")
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from reduced3dgs_tpu.renderer import render
+    from reduced3dgs_tpu.scene import Scene
+
+    dataset = C.extract_model(args)
+    pipe = C.extract_pipeline(args)
+    scene = Scene(dataset, load_iteration=args.iteration, shuffle=False)
+    background = jnp.asarray(
+        [1.0, 1.0, 1.0] if dataset.white_background else [0.0, 0.0, 0.0])
+
+    fps_results = {}
+    for model in args.models:
+        conf = MODELS_CONFIG[model]
+        pool = scene.load_model(quantised=conf["quantised"],
+                                half_float=conf["half_float"])
+
+        def render_view(cam, budget=1 << 19):
+            out = render(
+                pool.params.xyz, pool.features(), pool.params.scaling,
+                pool.params.rotation, pool.params.opacity[:, 0],
+                pool.degrees, cam.params(), background,
+                width=cam.width, height=cam.height, instance_budget=budget,
+                alive_mask=pool.alive, backend=pipe.backend)
+            if int(out.num_rendered) > budget:
+                return render_view(cam, budget * 2)
+            return out
+
+        sets = []
+        if not args.skip_train:
+            sets.append(("train", scene.get_train_cameras()))
+        if not args.skip_test:
+            sets.append(("test", scene.get_test_cameras()))
+        for split, cams in sets:
+            base = os.path.join(args.model_path, split, model,
+                                f"ours_{scene.loaded_iter}")
+            os.makedirs(os.path.join(base, "renders"), exist_ok=True)
+            os.makedirs(os.path.join(base, "gt"), exist_ok=True)
+            for idx, cam in enumerate(cams):
+                out = render_view(cam)
+                img = np.clip(np.asarray(out.color), 0, 1)
+                Image.fromarray((img * 255).astype(np.uint8)).save(
+                    os.path.join(base, "renders", f"{idx:05d}.png"))
+                if cam.image is not None:
+                    Image.fromarray(
+                        (np.clip(cam.image, 0, 1) * 255).astype(np.uint8)
+                    ).save(os.path.join(base, "gt", f"{idx:05d}.png"))
+
+        # FPS over the test (or train) set, one warmup + timed passes
+        cams = (scene.get_test_cameras() or scene.get_train_cameras())[:50]
+        if cams:
+            out = render_view(cams[0])
+            jax.block_until_ready(out.color)
+            times = []
+            for cam in cams:
+                t0 = time.perf_counter()
+                out = render_view(cam)
+                jax.block_until_ready(out.color)
+                times.append(time.perf_counter() - t0)
+            fps_results[model] = float(np.mean([1.0 / t for t in times]))
+            print(f"Model {model}: {fps_results[model]:.1f} FPS")
+
+    with open(os.path.join(args.model_path, "fps_results.json"), "w") as f:
+        json.dump(fps_results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -101,3 +101,21 @@ def test_budget_overflow_reported(scene):
     out = run(scene, "pallas")
     n = int(out.num_rendered)
     assert n < BUDGET  # scene fits; sanity for the overflow contract
+
+
+def test_strip_rendering_matches_full(scene):
+    """tile_rows strips must reproduce the corresponding full-image rows
+    (multi-chip image sharding building block)."""
+    full = run(scene, "pallas")
+    (xyz, feats, scales, rots, opac, degrees), cp = scene
+    bg = jnp.array([0.2, 0.1, 0.4])
+    strips = []
+    for r0, nrows in [(0, 1), (1, 2)]:  # grid_y = ceil(40/16) = 3
+        out = render(
+            xyz, feats, scales, rots, opac, degrees, cp, bg,
+            width=W, height=H, instance_budget=BUDGET, backend="pallas",
+            strip_r0=r0, strip_rows=nrows,
+        )
+        strips.append(np.asarray(out.color))
+    got = np.concatenate(strips, axis=0)[:H]  # crop strip padding rows
+    np.testing.assert_allclose(got, np.asarray(full.color), atol=1e-6)

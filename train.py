@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Training CLI — the reference train.py for the TPU framework.
+
+Flags mirror /root/reference/train.py:280-307 (ModelParams,
+OptimizationParams, PipelineParams + the ad-hoc driver flags), so
+reference invocations like
+
+  python train.py -s <scene> --eval --mercy_points --cull_SH 15000 ...
+
+work unchanged.  The hot loop runs through reduced3dgs_tpu.train.Trainer
+(fully jitted steps on TPU); the final compression pipeline (codebooks +
+quantised/half PLYs, train.py:172-175) runs at the end.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import uuid
+from argparse import ArgumentParser, Namespace
+
+import numpy as np
+
+
+def main():
+    from reduced3dgs_tpu.platform import setup
+
+    setup()
+
+    parser = ArgumentParser(description="Training script parameters")
+    from reduced3dgs_tpu import config as C
+
+    C.add_model_params(parser)
+    C.add_optimization_params(parser)
+    C.add_pipeline_params(parser)
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--debug_from", type=int, default=-1)
+    parser.add_argument("--detect_anomaly", action="store_true")
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[7_000, 30_000])
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[7_000, 30_000])
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--cull_SH", nargs="+", type=int, default=[])
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(sys.argv[1:])
+    args.save_iterations.append(args.iterations)
+
+    dataset = C.extract_model(args)
+    opt = C.extract_optimization(args)
+    pipe = C.extract_pipeline(args)
+
+    if not args.model_path:
+        args.model_path = os.path.join("./output/", str(uuid.uuid4())[:10])
+        dataset = dataset.__class__(**{**dataset.__dict__,
+                                       "model_path": args.model_path})
+    print(f"Optimizing {args.model_path}")
+    os.makedirs(args.model_path, exist_ok=True)
+    C.dump_cfg_args(args.model_path, args)
+
+    # safe_state: deterministic seeds (utils/general_utils.py:112-133)
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    import jax
+    import jax.numpy as jnp
+
+    from reduced3dgs_tpu.network_gui import NetworkGUI
+    from reduced3dgs_tpu.ops.kmeans import produce_clusters
+    from reduced3dgs_tpu.ops.losses import psnr
+    from reduced3dgs_tpu.renderer import render
+    from reduced3dgs_tpu.scene import Scene
+    from reduced3dgs_tpu.train.checkpoint import (
+        load_checkpoint, save_checkpoint,
+    )
+    from reduced3dgs_tpu.train.trainer import Trainer
+
+    scene = Scene(dataset)
+    background = jnp.asarray(
+        [1.0, 1.0, 1.0] if dataset.white_background else [0.0, 0.0, 0.0])
+
+    trainer = Trainer(
+        scene.pool, opt, scene.get_train_cameras(),
+        spatial_lr_scale=scene.cameras_extent, background=background,
+        backend=pipe.backend, max_sh_degree=dataset.sh_degree,
+        seed=args.seed, cull_sh_iterations=args.cull_SH, scene=scene,
+    )
+    trainer.extent = scene.cameras_extent
+    first_iter = 0
+    if args.start_checkpoint:
+        state, first_iter, slr = load_checkpoint(args.start_checkpoint)
+        trainer.state = state
+        trainer.spatial_lr_scale = slr
+
+    gui = NetworkGUI(args.ip, args.port, dataset.source_path,
+                     trainer, pipe, background)
+
+    tb = None
+    try:
+        from tensorboardX import SummaryWriter
+
+        tb = SummaryWriter(args.model_path)
+    except Exception:
+        print("Tensorboard not available: not logging progress")
+
+    try:
+        from tqdm import tqdm
+
+        bar = tqdm(range(first_iter, opt.iterations),
+                   desc="Training progress")
+    except Exception:
+        bar = None
+
+    def eval_report(iteration):
+        for name, cams in [("test", scene.get_test_cameras()),
+                           ("train", scene.get_train_cameras()[:5])]:
+            if not cams:
+                continue
+            pool = trainer.state.pool
+            ps, l1s = [], []
+            for cam in cams:
+                out = render(
+                    pool.params.xyz, pool.features(), pool.params.scaling,
+                    pool.params.rotation, pool.params.opacity[:, 0],
+                    pool.degrees, cam.params(), background,
+                    width=cam.width, height=cam.height,
+                    instance_budget=trainer._budget_for(cam.uid),
+                    alive_mask=pool.alive, backend=pipe.backend)
+                gt = jnp.asarray(cam.image)
+                img = jnp.clip(out.color, 0, 1)
+                ps.append(float(psnr(img, gt)))
+                l1s.append(float(jnp.abs(img - gt).mean()))
+            print(f"\n[ITER {iteration}] Evaluating {name}: "
+                  f"L1 {np.mean(l1s):.5f} PSNR {np.mean(ps):.2f}")
+            if tb:
+                tb.add_scalar(f"{name}/loss_viewpoint_psnr",
+                              np.mean(ps), iteration)
+                tb.add_scalar(f"{name}/loss_viewpoint_l1",
+                              np.mean(l1s), iteration)
+
+    ema = 0.0
+    for iteration in range(first_iter + 1, opt.iterations + 1):
+        gui.poll(iteration)
+        metrics = trainer.step(iteration)
+        if iteration % 10 == 0:
+            loss = float(metrics["loss"])
+            ema = 0.4 * loss + 0.6 * ema
+            if bar is not None:
+                bar.set_postfix({"Loss": f"{ema:.7f}",
+                                 "N": int(metrics["num_alive"])})
+                bar.update(10)
+        if tb and iteration % 100 == 0:
+            tb.add_scalar("train_loss_patches/total_loss",
+                          float(metrics["loss"]), iteration)
+            tb.add_scalar("total_points", int(metrics["num_alive"]),
+                          iteration)
+            for k, v in trainer.stats.items():
+                tb.add_scalar(f"densification/{k}", v, iteration)
+        if iteration in args.test_iterations:
+            eval_report(iteration)
+        if iteration in args.checkpoint_iterations:
+            print(f"\n[ITER {iteration}] Saving Checkpoint")
+            save_checkpoint(
+                os.path.join(args.model_path, f"chkpnt{iteration}.npz"),
+                trainer.state, iteration, trainer.spatial_lr_scale)
+        if iteration in args.save_iterations:
+            print(f"\n[ITER {iteration}] Saving Gaussians")
+            if opt.prune_dead_points:
+                from reduced3dgs_tpu.train.trainer import prune_dead_step
+
+                trainer.state, _ = prune_dead_step(
+                    trainer.state, jnp.float32(trainer.extent))
+            scene.pool = trainer.state.pool
+            scene.save(iteration)
+
+    if bar is not None:
+        bar.close()
+
+    # final compression pipeline (train.py:172-175)
+    scene.pool = trainer.state.pool
+    scene.save(opt.iterations)
+    codebooks = produce_clusters(scene.pool, jax.random.PRNGKey(args.seed),
+                                 max_sh_degree=dataset.sh_degree)
+    scene.save(opt.iterations, codebooks, quantise=True)
+    scene.save(opt.iterations, codebooks, quantise=True, half_float=True)
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()
