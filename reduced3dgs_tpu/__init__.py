@@ -10,4 +10,16 @@ reference CUDA implementation (see SURVEY.md).
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent compilation cache: the sandboxed remote AOT compile service is
+# slow and occasionally flaky; caching compiled executables across
+# processes makes reruns instant.
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), ".jax_cache"),
+)
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 from reduced3dgs_tpu.cameras import Camera  # noqa: F401

@@ -81,7 +81,66 @@ def read_cameras_binary(path):
     return cams
 
 
+def _native_lib():
+    """ctypes handle to the C++ IO library (native/colmap_io.cpp), built
+    on demand; None when unavailable (pure-python fallback)."""
+    global _NATIVE
+    if _NATIVE is not NotImplemented:
+        return _NATIVE
+    _NATIVE = None
+    try:
+        import ctypes
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "native"))
+        from build import build  # type: ignore
+
+        lib_path = build()
+        if lib_path:
+            lib = ctypes.CDLL(lib_path)
+            for fn in ("colmap_count_points3d", "colmap_read_points3d",
+                       "colmap_count_images", "colmap_read_images"):
+                getattr(lib, fn).restype = ctypes.c_longlong
+            _NATIVE = lib
+    except Exception as e:
+        print(f"native IO unavailable ({e})")
+    return _NATIVE
+
+
+_NATIVE = NotImplemented
+
+
 def read_images_binary(path):
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+
+        n = lib.colmap_count_images(path.encode())
+        if n >= 0:
+            name_cap = 512
+            ids = np.empty(n, np.int32)
+            qvec = np.empty((n, 4), np.float64)
+            tvec = np.empty((n, 3), np.float64)
+            cam_ids = np.empty(n, np.int32)
+            names = ctypes.create_string_buffer(int(n) * name_cap)
+            got = lib.colmap_read_images(
+                path.encode(),
+                ids.ctypes.data_as(ctypes.c_void_p),
+                qvec.ctypes.data_as(ctypes.c_void_p),
+                tvec.ctypes.data_as(ctypes.c_void_p),
+                cam_ids.ctypes.data_as(ctypes.c_void_p),
+                names, ctypes.c_longlong(name_cap))
+            if got == n:
+                out = {}
+                for i in range(n):
+                    raw = names.raw[i * name_cap:(i + 1) * name_cap]
+                    nm = raw.split(b"\x00", 1)[0].decode("utf-8")
+                    out[int(ids[i])] = ColmapImage(
+                        int(ids[i]), qvec[i].copy(), tvec[i].copy(),
+                        int(cam_ids[i]), nm)
+                return out
     imgs = {}
     with open(path, "rb") as f:
         (n,) = _read(f, "<Q")
@@ -104,6 +163,22 @@ def read_images_binary(path):
 
 
 def read_points3d_binary(path):
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+
+        n = lib.colmap_count_points3d(path.encode())
+        if n >= 0:
+            xyz = np.empty((n, 3), np.float32)
+            rgb = np.empty((n, 3), np.uint8)
+            err = np.empty(n, np.float64)
+            got = lib.colmap_read_points3d(
+                path.encode(),
+                xyz.ctypes.data_as(ctypes.c_void_p),
+                rgb.ctypes.data_as(ctypes.c_void_p),
+                err.ctypes.data_as(ctypes.c_void_p))
+            if got == n:
+                return xyz.astype(np.float64), rgb, err
     with open(path, "rb") as f:
         (n,) = _read(f, "<Q")
         xyz = np.empty((n, 3), np.float64)

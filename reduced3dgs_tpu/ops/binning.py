@@ -46,6 +46,7 @@ class BinningOut(NamedTuple):
 def padded_size(budget: int, width: int, height: int, tile_rows=None) -> int:
     gx, gy = tile_grid(width, height)
     rows = gy if tile_rows is None else tile_rows[1]
+    budget = -(-budget // ALIGN) * ALIGN  # keep B_pad a multiple of K
     return budget + gx * rows * ALIGN
 
 
@@ -67,6 +68,7 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
         are LOCAL to the window (multi-chip image-strip sharding).  r0 may
         be traced; num_rows must be static.
     """
+    budget = -(-budget // ALIGN) * ALIGN  # chunked kernels need K | B_pad
     grid_x, grid_y = tile_grid(width, height)
     if tile_rows is None:
         r0, num_rows = 0, grid_y

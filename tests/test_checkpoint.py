@@ -1,0 +1,33 @@
+"""Checkpoint capture/restore round trip (reference capture()/restore(),
+gaussian_model.py:92-126)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reduced3dgs_tpu.models import gaussians as G
+from reduced3dgs_tpu.train import adam
+from reduced3dgs_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from reduced3dgs_tpu.train.trainer import TrainState
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    pool = G.create_from_pcd(
+        rng.normal(0, 1, (30, 3)).astype(np.float32),
+        rng.uniform(0, 1, (30, 3)).astype(np.float32), capacity=64)
+    opt = adam.init(pool.params)
+    opt = opt._replace(step=jnp.int32(17),
+                       mu=jax.tree.map(lambda x: x + 0.5, opt.mu))
+    state = TrainState(pool, opt, jax.random.PRNGKey(3))
+    path = os.path.join(str(tmp_path), "ck.npz")
+    save_checkpoint(path, state, 1234, 2.5)
+
+    restored, it, slr = load_checkpoint(path)
+    assert it == 1234 and slr == 2.5
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.opt.step) == 17
+    assert restored.pool.capacity == 64
