@@ -3,24 +3,30 @@
 The TPU-native replacement for the CUB pipeline in the reference
 (rasterizer_impl.cu:290-334: inclusive scan -> duplicateWithKeys -> radix
 sort on (tileID | depth-bits) -> identifyTileRanges).  Instead of a
-data-dependent instance count we use a *static instance budget* B:
+data-dependent instance count we use a *static instance budget* B.
 
-  * offsets = exclusive cumsum of per-primitive tile coverage,
-  * instance i -> owning primitive via searchsorted (a vectorized inverse
-    of the per-thread rect loop in duplicateWithKeys),
-  * one stable multi-key lax.sort on (tile_id, depth_bits) — bitcasting the
-    positive f32 depth to int32 preserves order exactly as the CUDA radix
-    sort over the raw bit pattern does (rasterizer_impl.cu:110-112),
-  * per-tile [start, end) ranges via searchsorted over the sorted tile ids,
-  * a final *K-aligned scatter*: every tile's range is relocated to start
-    at a multiple of K (the Pallas chunk width), so the tile kernels DMA
-    lane-aligned (16, K) blocks and chunk windows never cross tiles.  The
-    alignment slack is at most num_tiles*(K-1) slots, marked with
-    tile_id == num_tiles and primitive id 0 and masked everywhere.
+TPU data-movement discipline (measured on v5e): `lax.sort` and
+vectorized `searchsorted` run at ~0.15 ms per million elements, while
+gathers/scatters cost ~5-10 ms per million *descriptors* regardless of
+width.  The pipeline is therefore built almost entirely from sorts,
+searchsorted and vector math:
 
-Everything is O(B log B) with static shapes; overflow beyond the budget is
-clamped (instances past B drop, reported via `num_rendered` so callers can
-re-run with a larger bucket).
+  * offsets = cumsum of per-primitive tile coverage; instance ->
+    primitive via searchsorted (vectorized inverse of the per-thread
+    rect loop in duplicateWithKeys),
+  * ONE row gather moves per-primitive data (rect, start, depth key) to
+    instances — contiguous 32-byte rows, the only gather in binning,
+  * sort #1 on (tile, depth-bits) over B — bitcasting the positive f32
+    depth to int32 preserves order exactly like the CUDA radix sort over
+    raw bits (rasterizer_impl.cu:110-112) — then per-tile ranges via
+    searchsorted,
+  * the *K-aligned relocation* (every tile's range starts at a multiple
+    of K so Pallas chunk DMAs are lane-aligned and never cross tiles) is
+    realized by sort #2 over B_pad: synthetic padding instances carry
+    (tile, MAX_KEY) keys, so the stable sort drops every real instance
+    into its aligned slot and the padding into each tile's alignment
+    slack — no scatter, no second gather; the aligned per-slot primitive
+    id comes out as the sort payload.
 """
 
 from __future__ import annotations
@@ -33,14 +39,20 @@ import jax.numpy as jnp
 from reduced3dgs_tpu.ops.preprocess import PreprocessOut, tile_grid
 
 ALIGN = 128  # must equal tile_render.K
+_MAXI = jnp.int32(2**31 - 1)
 
 
 class BinningOut(NamedTuple):
-    gauss_id: jnp.ndarray  # (B_pad,) int32 primitive index per aligned slot
-    tile_id: jnp.ndarray  # (B_pad,) int32 tile per slot (num_tiles = padding)
-    tile_ranges: jnp.ndarray  # (num_tiles, 2) int32 [start, end), K-aligned starts
-    num_rendered: jnp.ndarray  # () int32 true instance count (may exceed budget)
+    gauss_aligned: jnp.ndarray  # (B_pad,) int32 primitive id per aligned slot
+    pad_mask: jnp.ndarray  # (B_pad,) bool True where slot is padding
+    tile_id: jnp.ndarray  # (B_pad,) int32 tile per aligned slot (num_tiles=pad)
+    tile_ranges: jnp.ndarray  # (num_tiles, 2) int32 [start, end), K-aligned
+    num_rendered: jnp.ndarray  # () int32 true instance count (may exceed B)
     total_padded: jnp.ndarray  # () int32 end of the written aligned region
+
+    def gauss_id(self):
+        """(B_pad,) primitive id per aligned slot (padding -> id 0)."""
+        return jnp.where(self.pad_mask, 0, self.gauss_aligned)
 
 
 def padded_size(budget: int, width: int, height: int, tile_rows=None) -> int:
@@ -90,60 +102,87 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
         counts = jnp.maximum(counts, 0).astype(jnp.int32)
     offsets = jnp.cumsum(counts)  # inclusive
     num_rendered = offsets[-1] if p > 0 else jnp.int32(0)
-    starts = offsets - counts  # exclusive
 
-    # instance slot -> owning primitive: smallest g with offsets[g] > i
+    # instance slot -> owning primitive ("expand").  searchsorted would be
+    # a binary search = ~11 rounds of B-sized gathers (~90 ms/M on v5e);
+    # instead scatter one marker per non-empty primitive at its start slot
+    # (P descriptors, P << B) and forward-fill with a running max (gauss
+    # ids increase with start position).
     slot = jnp.arange(budget, dtype=jnp.int32)
-    gauss = jnp.searchsorted(offsets, slot, side="right").astype(jnp.int32)
+    starts_all = offsets - counts
+    mark_pos = jnp.where(counts > 0, starts_all, budget)
+    markers = jnp.zeros((budget,), jnp.int32).at[mark_pos].max(
+        jnp.arange(p, dtype=jnp.int32), mode="drop")
+    gauss_c = jax.lax.associative_scan(jnp.maximum, markers)
     in_range = slot < jnp.minimum(num_rendered, budget)
-    gauss_c = jnp.clip(gauss, 0, p - 1)
+
+    # the ONE gather of binning: per-primitive rows -> instances
+    per_prim = jnp.stack(
+        [offsets - counts, rect_min[:, 0], rect_min[:, 1],
+         jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1),
+         depth_key(prep.depths)], axis=1)  # (P, 5)
+    rows = per_prim[gauss_c]  # (B, 5) contiguous row gather
 
     # rank within the primitive's rect -> tile coordinates, row-major over
     # the rect exactly like the nested loop in duplicateWithKeys
     # (rasterizer_impl.cu:97-116).
-    rank = slot - starts[gauss_c]
-    rmin = rect_min[gauss_c]  # (B,2)
-    rect_w = jnp.maximum(rect_max[gauss_c, 0] - rmin[:, 0], 1)
-    ty = rmin[:, 1] + rank // rect_w
-    tx = rmin[:, 0] + rank % rect_w
+    rank = slot - rows[:, 0]
+    ty = rows[:, 2] + rank // rows[:, 3]
+    tx = rows[:, 1] + rank % rows[:, 3]
     tile = (ty - r0) * grid_x + tx  # local tile id within the window
 
-    # padding instances sort to the end (tile == num_tiles)
     tile = jnp.where(in_range, tile, num_tiles).astype(jnp.int32)
-    dkey = jnp.where(in_range, depth_key(prep.depths[gauss_c]), jnp.int32(2**31 - 1))
+    dkey = jnp.where(in_range, rows[:, 4], _MAXI)
 
-    tile_s, _, gauss_s = jax.lax.sort(
+    # sort #1: instance order within the budget
+    tile_s, dkey_s, gauss_s = jax.lax.sort(
         (tile, dkey, gauss_c), num_keys=2, is_stable=True
     )
 
     tile_idx = jnp.arange(num_tiles, dtype=jnp.int32)
-    range_start = jnp.searchsorted(tile_s, tile_idx, side="left").astype(jnp.int32)
-    range_end = jnp.searchsorted(tile_s, tile_idx, side="right").astype(jnp.int32)
+    range_start = jnp.searchsorted(tile_s, tile_idx, side="left").astype(
+        jnp.int32)
+    range_end = jnp.searchsorted(tile_s, tile_idx, side="right").astype(
+        jnp.int32)
     tcounts = range_end - range_start
 
-    # --- K-aligned relocation ---------------------------------------------
+    # --- K-aligned relocation via sort #2 ------------------------------
     padded = ((tcounts + ALIGN - 1) // ALIGN) * ALIGN
     new_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1]]
     )
-    total_padded = new_start[-1] + padded[-1] if num_tiles > 0 else jnp.int32(0)
+    total_padded = (new_start[-1] + padded[-1] if num_tiles > 0
+                    else jnp.int32(0))
     b_pad = padded_size(budget, width, height, tile_rows)
+    n_extra = b_pad - budget
 
-    src_ok = tile_s < num_tiles
-    t_safe = jnp.clip(tile_s, 0, num_tiles - 1)
-    pos = jnp.arange(budget, dtype=jnp.int32) - range_start[t_safe]
-    new_idx = jnp.where(src_ok, new_start[t_safe] + pos, b_pad)
+    # synthetic padding instances: pad slot k belongs to the tile whose
+    # cumulative padding need exceeds k (searchsorted over the cumsum);
+    # their (tile, MAX_KEY) keys sort to each tile's alignment slack.
+    pad_need = jnp.cumsum(padded - tcounts)
+    pad_tile = jnp.searchsorted(
+        pad_need, jnp.arange(n_extra, dtype=jnp.int32), side="right"
+    ).astype(jnp.int32)
+    pad_tile = jnp.minimum(pad_tile, num_tiles)
 
-    gauss_a = jnp.zeros((b_pad,), jnp.int32).at[new_idx].set(gauss_s, mode="drop")
-    tile_a = jnp.full((b_pad,), num_tiles, jnp.int32).at[new_idx].set(
-        tile_s, mode="drop"
+    all_tiles = jnp.concatenate([tile_s, pad_tile])
+    all_keys = jnp.concatenate([dkey_s, jnp.full((n_extra,), _MAXI)])
+    all_gauss = jnp.concatenate(
+        [gauss_s, jnp.zeros((n_extra,), jnp.int32)])
+    all_pad = jnp.concatenate(
+        [(tile_s >= num_tiles).astype(jnp.int32),
+         jnp.ones((n_extra,), jnp.int32)])
+
+    tile_a, _, gauss_a, pad_a = jax.lax.sort(
+        (all_tiles, all_keys, all_gauss, all_pad), num_keys=2,
+        is_stable=True,
     )
-    tile_ranges = jnp.stack([new_start, new_start + tcounts], axis=-1)
 
     return BinningOut(
-        gauss_id=gauss_a,
+        gauss_aligned=gauss_a,
+        pad_mask=pad_a == 1,
         tile_id=tile_a,
-        tile_ranges=tile_ranges,
+        tile_ranges=jnp.stack([new_start, new_start + tcounts], axis=-1),
         num_rendered=num_rendered,
         total_padded=total_padded,
     )

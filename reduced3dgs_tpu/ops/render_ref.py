@@ -78,11 +78,15 @@ def render_ref(
     SH culling).
     """
     grid_x, _ = tile_grid(width, height)
-    inst_xy = prep.means2d[binning.gauss_id]
-    inst_conic = prep.conic[binning.gauss_id]
-    inst_opac = prep.opacity[binning.gauss_id]
-    inst_color = prep.color[binning.gauss_id]
-    inst_tile = binning.tile_id
+    gauss_id = binning.gauss_id()
+    # alignment-slack slots carry a real tile id; mask them to num_tiles
+    # so they never match a pixel tile
+    inst_xy = prep.means2d[gauss_id]
+    inst_conic = prep.conic[gauss_id]
+    inst_opac = prep.opacity[gauss_id]
+    inst_color = prep.color[gauss_id]
+    inst_tile = jnp.where(binning.pad_mask, grid_x * 10**6,
+                          binning.tile_id)
     bg = jnp.asarray(background, jnp.float32)
 
     ys, xs = jnp.meshgrid(
@@ -120,7 +124,7 @@ def render_ref(
     t_final = jnp.concatenate(ts, axis=0)[:n].reshape(height, width)
     if want_transmittance:
         P = prep.means2d.shape[0]
-        g_trans = jax.ops.segment_sum(trans_sum, binning.gauss_id, num_segments=P)
-        g_touch = jax.ops.segment_sum(touch_sum, binning.gauss_id, num_segments=P)
+        g_trans = jax.ops.segment_sum(trans_sum, gauss_id, num_segments=P)
+        g_touch = jax.ops.segment_sum(touch_sum, gauss_id, num_segments=P)
         return color, t_final, g_trans, g_touch
     return color, t_final

@@ -75,41 +75,36 @@ def _interpret() -> bool:
 
 
 # ---------------------------------------------------------------------------
-# lane-axis scans (Hillis-Steele with static shifts)
+# lane-axis scans as MXU matmuls
+#
+# Lane shifts are expensive in the Mosaic lowering (cross-vreg permutes),
+# so prefix sums along the K instance lanes are computed as one
+# (256,K)@(K,K) triangular matmul on the MXU (~0.1us) instead of a
+# log-depth shift network; the transmittance cumprod goes through
+# log1p/exp around the matmul (f32 roundtrip error ~1e-7, far below the
+# rasterizer's parity tolerances).
 # ---------------------------------------------------------------------------
 
-def _shift_lanes(x, d, fill):
-    """shifted[:, i] = x[:, i-d] for i >= d else fill (static d)."""
-    s, k = x.shape
-    pad = jnp.full((s, d), fill, x.dtype)
-    return jnp.concatenate([pad, x[:, : k - d]], axis=1)
-
-
-def _cumprod_excl_lanes(x):
-    """Exclusive cumulative product along lanes."""
-    s = x
-    d = 1
-    while d < x.shape[1]:
-        s = s * _shift_lanes(s, d, 1.0)
-        d *= 2
-    return _shift_lanes(s, 1, 1.0)
+def _tri_incl():
+    """(K, K) upper-triangular ones: (x @ T)[:, i] = sum_{j<=i} x[:, j]."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    return (row <= col).astype(jnp.float32)
 
 
 def _cumsum_incl_lanes(x):
-    """Inclusive cumulative sum along lanes."""
-    s = x
-    d = 1
-    while d < x.shape[1]:
-        s = s + _shift_lanes(s, d, 0.0)
-        d *= 2
-    return s
+    """Inclusive cumulative sum along lanes via the MXU."""
+    return jax.lax.dot_general(
+        x, _tri_incl(), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 # ---------------------------------------------------------------------------
 # shared per-chunk compositing math — (256 pixels, K instances)
 # ---------------------------------------------------------------------------
 
-def _chunk_state(f, pxf, pyf, idx_global, end, t_in, done_in, pix_ok):
+def _chunk_state(f, pxf, pyf, pix_ok, idx_global, end, t_in, done_in):
     """Recompute the blend state for one (256, K) chunk.
 
     f: (16, K) feature-major chunk; t_in/done_in: (256, 1) carries.
@@ -133,8 +128,10 @@ def _chunk_state(f, pxf, pyf, idx_global, end, t_in, done_in, pix_ok):
     valid = in_range & (power <= 0.0) & (alpha >= ALPHA_MIN) & pix_ok
 
     a = jnp.where(valid, alpha, 0.0)
-    t_exc = t_in * _cumprod_excl_lanes(1.0 - a)  # T before instance i
-    t_inc = t_exc * (1.0 - a)  # T after instance i
+    lg = jnp.log1p(-a)
+    cums = _cumsum_incl_lanes(lg)  # log prod_{j<=i} (1-a_j)
+    t_inc = t_in * jnp.exp(cums)  # T after instance i
+    t_exc = t_in * jnp.exp(cums - lg)  # T before instance i
     # `done_in` is a (256,1) float32 0/1 mask: Mosaic cannot carry i1
     # vectors through scf.while, so booleans live as floats in carries.
     not_done = done_in < 0.5
@@ -193,102 +190,140 @@ def _zero_fill_tail(vbuf, out_hbm, sem, start, i_from, i_to):
 def _fwd_kernel(grid_x, width, height, max_chunks, num_tiles,
                 base_ref, ranges_ref, feat_hbm, out_init_hbm, out_hbm,
                 buf, obuf, pend, sem, osem):
-    # out_hbm is input_output_aliased to out_init_hbm, pre-filled with the
-    # empty-tile answer (color 0, T 1) — tiles with no instances are
-    # skipped entirely.
-    del out_init_hbm
+    """Streaming forward: one double-buffered DMA pipeline over the GLOBAL
+    chunk sequence.
+
+    The K-aligned binning layout makes tile ranges contiguous in slot
+    space, so chunk j always lives at slot offset j*K and the prefetch
+    address never depends on tile boundaries.  Tile state (transmittance,
+    color accumulators, pixel coords) is carried through the chunk loop
+    and finalized/reset at tile boundaries; empty tiles occupy no chunks
+    and their output comes from the input_output_aliased pre-filled
+    buffer (color 0, T 1).  A per-pixel early exit finalizes a tile as
+    soon as every pixel is saturated and jumps the stream past its
+    remaining chunks (draining the one stale prefetch).
+    """
+    del out_init_hbm  # aliased to out_hbm
     base = base_ref[0]
+    total_chunks = base_ref[1]
     pend[0] = 0
     pend[1] = 0
 
-    def tile_body(t, _):
-        start = pl.multiple_of(ranges_ref[t, 0], K)  # K-aligned by binning
-        end = ranges_ref[t, 1]
+    def next_nonempty(t):
+        # first tile index >= t with a nonempty range (clamped reads)
+        def cond(tt):
+            ts = jnp.minimum(tt, num_tiles - 1)
+            return (tt < num_tiles) & (ranges_ref[ts, 1] <= ranges_ref[ts, 0])
 
-        @pl.when(end > start)
+        return jax.lax.while_loop(cond, lambda tt: tt + 1, t)
+
+    def coords(t):
+        ts = jnp.minimum(t, num_tiles - 1)
+        pxf, pyf, pix_ok = _pixel_coords(base + ts, grid_x, width, height)
+        return pxf, pyf, pix_ok.astype(jnp.float32)
+
+    def dma(j, slot):
+        return pltpu.make_async_copy(
+            feat_hbm.at[:, pl.ds(j * K, K)], buf.at[slot], sem.at[slot])
+
+    t0 = next_nonempty(0)
+    pxf0, pyf0, pok0 = coords(t0)
+
+    def cond(c):
+        return c[0] < total_chunks
+
+    def body(c):
+        (j, t, cold, t_carry, acc, nc, done, pxf, pyf, pokf) = c
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(cold == 1)
         def _():
-            pxf, pyf, pix_ok = _pixel_coords(base + t, grid_x, width, height)
-            n_chunks = jnp.minimum(pl.cdiv(end - start, K), max_chunks)
+            dma(j, slot).start()
 
-            def dma(i, slot):
-                return pltpu.make_async_copy(
-                    feat_hbm.at[:, pl.ds(start + i * K, K)],
-                    buf.at[slot], sem.at[slot],
-                )
+        @pl.when(j + 1 < total_chunks)
+        def _():
+            dma(j + 1, 1 - slot).start()
 
-            dma(0, 0).start()
+        dma(j, slot).wait()
 
-            def cond(c):
-                i, _, _, _, done = c
-                alive = jnp.min(jnp.where(pix_ok, done, 1.0)) < 0.5
-                return (i < n_chunks) & alive
+        start_t = ranges_ref[t, 0]
+        end_t = ranges_ref[t, 1]
+        st = _chunk_state(buf[slot], pxf, pyf, pokf > 0.5, j * K, end_t,
+                          t_carry, done)
+        w = st["a_eff"] * st["t_exc"]  # (256, K)
+        acc = acc + jax.lax.dot_general(
+            w, st["rgb"], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        nc = nc + jnp.sum(st["contrib"].astype(jnp.float32), axis=1,
+                          keepdims=True)
+        t_carry = st["t_out"]
+        done = st["done"]
 
-            def body(c):
-                i, t_carry, acc, nc, done = c
-                slot = jax.lax.rem(i, 2)
+        last_idx = start_t // K + pl.cdiv(end_t - start_t, K) - 1
+        is_last = j == last_idx
+        all_done = jnp.min(jnp.where(pokf > 0.5, done, 1.0)) > 0.5
+        do_fin = is_last | all_done
+        jump = all_done & jnp.logical_not(is_last)
 
-                @pl.when(i + 1 < n_chunks)
-                def _():
-                    dma(i + 1, 1 - slot).start()
+        @pl.when(jump & (j + 1 < total_chunks))
+        def _():
+            dma(j + 1, 1 - slot).wait()  # drain the stale prefetch
 
-                dma(i, slot).wait()
-                st = _chunk_state(buf[slot], pxf, pyf, start + i * K, end,
-                                  t_carry, done, pix_ok)
-                w = st["a_eff"] * st["t_exc"]  # (256, K) blend weights
-                acc = acc + jax.lax.dot_general(
-                    w, st["rgb"], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (256, 3)
-                nc = nc + jnp.sum(st["contrib"].astype(jnp.float32), axis=1,
-                                  keepdims=True)
-                return i + 1, st["t_out"], acc, nc, st["done"]
-
-            init = (
-                jnp.int32(0),
-                jnp.ones((NPIX, 1), jnp.float32),
-                jnp.zeros((NPIX, 3), jnp.float32),
-                jnp.zeros((NPIX, 1), jnp.float32),
-                jnp.zeros((NPIX, 1), jnp.float32),
-            )
-            i_stop, t_fin, acc, nc, _ = jax.lax.while_loop(cond, body, init)
-
-            # drain the in-flight prefetch left by an early exit
-            @pl.when(i_stop < n_chunks)
-            def _():
-                dma(i_stop, jax.lax.rem(i_stop, 2)).wait()
-
-            # double-buffered output: wait the previous DMA using this
-            # slot before overwriting its scratch
+        @pl.when(do_fin)
+        def _():
             oslot = jax.lax.rem(t, 2)
 
-            def out_dma(slot, tt):
+            def out_dma(sl):
                 return pltpu.make_async_copy(
-                    obuf.at[slot], out_hbm.at[:, pl.ds(tt * NPIX, NPIX)],
-                    osem.at[slot])
+                    obuf.at[sl], out_hbm.at[:, pl.ds(t * NPIX, NPIX)],
+                    osem.at[sl])
 
             @pl.when(pend[oslot] == 1)
             def _():
-                out_dma(oslot, t).wait()  # sem + byte count only
+                out_dma(oslot).wait()  # waits sem/bytes of the prior DMA
 
-            # pack pixel-major columns into feature-major rows (one small
-            # (256, 8) -> (8, 256) transpose per tile)
             pix = jnp.concatenate(
-                [acc, t_fin, nc,
-                 jnp.zeros((NPIX, PIX_ROWS - 5), jnp.float32)], axis=1,
-            )  # (256, 8)
+                [acc, t_carry, nc,
+                 jnp.zeros((NPIX, PIX_ROWS - 5), jnp.float32)], axis=1)
             obuf[oslot] = pix.T  # (8, 256)
-            out_dma(oslot, t).start()
+            out_dma(oslot).start()
             pend[oslot] = 1
 
-        return 0
+        j_next = jnp.where(do_fin, last_idx + 1, j + 1)
+        cold_next = jnp.where(
+            do_fin & (j_next != j + 1), jnp.int32(1), jnp.int32(0))
+        t_next = jax.lax.cond(do_fin, lambda: next_nonempty(t + 1),
+                              lambda: t)
+        npx, npy, npo = coords(t_next)
+        fin_f = do_fin.astype(jnp.float32)
+        keep = 1.0 - fin_f
+        return (
+            j_next, t_next, cold_next,
+            t_carry * keep + fin_f,  # reset T to 1
+            acc * keep,
+            nc * keep,
+            done * keep,
+            jnp.where(do_fin, npx, pxf),
+            jnp.where(do_fin, npy, pyf),
+            jnp.where(do_fin, npo, pokf),
+        )
 
-    jax.lax.fori_loop(0, num_tiles, tile_body, 0)
+    init = (
+        jnp.int32(0), t0, jnp.int32(1),
+        jnp.ones((NPIX, 1), jnp.float32),
+        jnp.zeros((NPIX, 3), jnp.float32),
+        jnp.zeros((NPIX, 1), jnp.float32),
+        jnp.zeros((NPIX, 1), jnp.float32),
+        pxf0, pyf0, pok0,
+    )
+    jax.lax.while_loop(cond, body, init)
 
-    def drain(slot):
-        @pl.when(pend[slot] == 1)
+    def drain(sl):
+        @pl.when(pend[sl] == 1)
         def _():
             pltpu.make_async_copy(
-                obuf.at[slot], out_hbm.at[:, pl.ds(0, NPIX)], osem.at[slot]
+                obuf.at[sl], out_hbm.at[:, pl.ds(0, NPIX)], osem.at[sl]
             ).wait()
 
     drain(0)
@@ -352,8 +387,8 @@ def _bwd_kernel(grid_x, width, height, max_chunks, num_tiles,
 
             dma_in(i, slot).wait()
             f = buf[slot]
-            st = _chunk_state(f, pxf, pyf, start + i * K, end, t_carry,
-                              done, pix_ok)
+            st = _chunk_state(f, pxf, pyf, pix_ok, start + i * K, end,
+                              t_carry, done)
             a, t_exc, contrib = st["a"], st["t_exc"], st["contrib"]
             w = st["a_eff"] * t_exc  # (256, K)
 
@@ -466,8 +501,8 @@ def _trans_kernel(grid_x, width, height, max_chunks, num_tiles,
                 dma_in(i + 1, 1 - slot).start()
 
             dma_in(i, slot).wait()
-            st = _chunk_state(buf[slot], pxf, pyf, start + i * K, end,
-                              t_carry, done, pix_ok)
+            st = _chunk_state(buf[slot], pxf, pyf, pix_ok, start + i * K,
+                              end, t_carry, done)
             # per-Gaussian mean-transmittance stats (forward.cu:560-565)
             abuf[0:1, :] = jnp.sum(
                 jnp.where(st["contrib"], st["t_exc"], 0.0), axis=0,
@@ -577,17 +612,22 @@ def _build_trans(num_tiles, grid_x, width, height, b_pad, max_chunks,
 # packing / assembly helpers
 # ---------------------------------------------------------------------------
 
-def _pack_features(means2d, conic, opacity, color, gauss_id):
-    """Gather aligned instances into a feature-major (16, B_pad) array."""
-    rows = [
-        means2d[gauss_id, 0], means2d[gauss_id, 1],
-        conic[gauss_id, 0], conic[gauss_id, 1], conic[gauss_id, 2],
-        opacity[gauss_id],
-        color[gauss_id, 0], color[gauss_id, 1], color[gauss_id, 2],
-    ]
-    feat = jnp.stack(rows, axis=0)  # (9, B_pad)
-    feat = jnp.pad(feat, ((0, FEAT_ROWS - 9), (0, 0)))
-    return feat, gauss_id.shape[0]
+def _pack_features(means2d, conic, opacity, color, binning: BinningOut):
+    """Gather aligned instances into a feature-major (16, B_pad) array.
+
+    ONE contiguous row gather (gather cost on TPU is per descriptor, not
+    per byte, so nine element-wise gathers would be ~20x slower).  The
+    aligned primitive-id layout comes from binning's alignment sort.
+    Padding slots pull primitive 0's row but sit outside every tile's
+    [start, end) range, so the kernels' in-range mask discards them.
+    """
+    per_gaussian = jnp.concatenate(
+        [means2d, conic, opacity[:, None], color,
+         jnp.zeros((means2d.shape[0], FEAT_ROWS - 9), means2d.dtype)],
+        axis=1,
+    )  # (P, 16)
+    feat = per_gaussian[binning.gauss_id()]  # (B_pad, 16) row gather
+    return feat.T, binning.pad_mask.shape[0]
 
 
 def _packed_to_images(packed, grid_x, grid_y, width, height):
@@ -603,62 +643,61 @@ def _packed_to_images(packed, grid_x, grid_y, width, height):
 # custom-VJP core: per-Gaussian arrays in, packed tile rows out
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def _rasterize_core(means2d, conic, opacity, color, gauss_id, ranges,
-                    total_padded, base, width, height, num_rows):
-    out, _ = _rasterize_fwd(means2d, conic, opacity, color, gauss_id, ranges,
-                            total_padded, base, width, height, num_rows)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _rasterize_core(means2d, conic, opacity, color, binning, base,
+                    width, height, num_rows):
+    out, _ = _core_fwd(means2d, conic, opacity, color, binning, base,
+                       width, height, num_rows)
     return out
 
 
-def _rasterize_fwd(means2d, conic, opacity, color, gauss_id, ranges,
-                   total_padded, base, width, height, num_rows):
+def _core_fwd(means2d, conic, opacity, color, binning, base, width, height,
+              num_rows):
     grid_x, _ = tile_grid(width, height)
     num_tiles = num_rows * grid_x
-    feat, b_pad = _pack_features(means2d, conic, opacity, color, gauss_id)
+    feat, b_pad = _pack_features(means2d, conic, opacity, color, binning)
     max_chunks = pl.cdiv(b_pad, K)
     fwd = _build_fwd(num_tiles, grid_x, width, height, b_pad, max_chunks,
                      _interpret())
     out_init = jnp.zeros((PIX_ROWS, num_tiles * NPIX), jnp.float32)
     out_init = out_init.at[3, :].set(1.0)  # empty tiles: T = 1
-    (packed,) = fwd(base, ranges, feat, out_init)
-    res = (feat, gauss_id, ranges, total_padded, base, packed,
-           means2d.shape[0])
+    base2 = jnp.concatenate([base, (binning.total_padded // K).reshape(1)])
+    (packed,) = fwd(base2, binning.tile_ranges, feat, out_init)
+    res = (feat, binning, base, packed, means2d.shape[0])
     return packed, res
 
 
-def _rasterize_bwd(width, height, num_rows, res, g_packed):
-    feat, gauss_id, ranges, total_padded, base, packed, num_p = res
+def _core_bwd(width, height, num_rows, res, g_packed):
+    feat, binning, base, packed, num_p = res
     grid_x, _ = tile_grid(width, height)
     num_tiles = num_rows * grid_x
-    b_pad = gauss_id.shape[0]
+    b_pad = binning.pad_mask.shape[0]
     max_chunks = pl.cdiv(b_pad, K)
     bwd = _build_bwd(num_tiles, grid_x, width, height, b_pad, max_chunks,
                      _interpret())
-    (dfeat,) = bwd(base, ranges, feat, g_packed, packed)
+    (dfeat,) = bwd(base, binning.tile_ranges, feat, g_packed, packed)
 
-    # slots past the aligned region were never written (garbage); inside
-    # it, padding slots hold written zeros.
+    # ONE row segment-sum per Gaussian.  Alignment-slack slots carry
+    # written zeros; the unwritten tail past total_padded is dropped via
+    # the sentinel segment id.
     slot = jnp.arange(b_pad, dtype=jnp.int32)
-    live = slot < total_padded
-    dfeat = jnp.where(live[None, :], dfeat, 0.0)
+    seg_id = jnp.where(
+        binning.pad_mask | (slot >= binning.total_padded),
+        num_p, binning.gauss_aligned)
+    dsum = jax.ops.segment_sum(dfeat.T, seg_id,
+                               num_segments=num_p + 1)[:num_p]  # (P, 16)
 
-    def seg(row):
-        return jax.ops.segment_sum(dfeat[row], gauss_id, num_segments=num_p)
-
-    d_means2d = jnp.stack([seg(0), seg(1)], axis=-1)
-    d_conic = jnp.stack([seg(2), seg(3), seg(4)], axis=-1)
-    d_opacity = seg(5)
-    d_color = jnp.stack([seg(6), seg(7), seg(8)], axis=-1)
-    zero_i = np.zeros(gauss_id.shape, jax.dtypes.float0)
-    zero_r = np.zeros(ranges.shape, jax.dtypes.float0)
-    zero_n = np.zeros((), jax.dtypes.float0)
-    zero_b = np.zeros(base.shape, jax.dtypes.float0)
-    return (d_means2d, d_conic, d_opacity, d_color, zero_i, zero_r, zero_n,
-            zero_b)
+    d_means2d = dsum[:, 0:2]
+    d_conic = dsum[:, 2:5]
+    d_opacity = dsum[:, 5]
+    d_color = dsum[:, 6:9]
+    zero_bin = jax.tree.map(
+        lambda x: np.zeros(x.shape, jax.dtypes.float0), binning)
+    zero_base = np.zeros(base.shape, jax.dtypes.float0)
+    return (d_means2d, d_conic, d_opacity, d_color, zero_bin, zero_base)
 
 
-_rasterize_core.defvjp(_rasterize_fwd, _rasterize_bwd)
+_rasterize_core.defvjp(_core_fwd, _core_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -687,12 +726,10 @@ def tile_render(prep: PreprocessOut, binning: BinningOut, background,
     else:
         r0, num_rows = tile_rows
         crop_h = num_rows * TILE_Y
-    ranges = binning.tile_ranges
     base = (jnp.asarray(r0, jnp.int32) * grid_x).reshape(1)
     packed = _rasterize_core(
         prep.means2d, prep.conic, prep.opacity, prep.color,
-        binning.gauss_id, ranges, binning.total_padded, base, width, height,
-        num_rows,
+        binning, base, width, height, num_rows,
     )
     color, t_fin, _nc = _packed_to_images(packed, grid_x, num_rows, width,
                                           crop_h)
@@ -702,18 +739,20 @@ def tile_render(prep: PreprocessOut, binning: BinningOut, background,
     g_trans = g_touch = None
     if want_transmittance:
         feat, b_pad = _pack_features(
-            prep.means2d, prep.conic, prep.opacity, prep.color,
-            binning.gauss_id)
+            prep.means2d, prep.conic, prep.opacity, prep.color, binning)
         max_chunks = pl.cdiv(b_pad, K)
         trans = _build_trans(num_rows * grid_x, grid_x, width, height,
                              b_pad, max_chunks, _interpret())
-        (acc,) = trans(base, ranges, feat)
-        slot = jnp.arange(b_pad, dtype=jnp.int32)
-        live = slot < binning.total_padded
-        acc = jnp.where(live[None, :], acc, 0.0)
+        base2 = jnp.concatenate(
+            [base, (binning.total_padded // K).reshape(1)])
+        (acc,) = trans(base2, binning.tile_ranges, feat)
         num_p = prep.means2d.shape[0]
-        g_trans = jax.ops.segment_sum(acc[0], binning.gauss_id,
-                                      num_segments=num_p)
-        g_touch = jax.ops.segment_sum(acc[1], binning.gauss_id,
-                                      num_segments=num_p).astype(jnp.int32)
+        slot = jnp.arange(b_pad, dtype=jnp.int32)
+        seg_id = jnp.where(
+            binning.pad_mask | (slot >= binning.total_padded),
+            num_p, binning.gauss_aligned)
+        asum = jax.ops.segment_sum(acc.T[:, 0:2], seg_id,
+                                   num_segments=num_p + 1)[:num_p]
+        g_trans = asum[:, 0]
+        g_touch = asum[:, 1].astype(jnp.int32)
     return color, t_fin, g_trans, g_touch
