@@ -1,0 +1,101 @@
+"""Redundancy metric vs a direct numpy mirror of the reference math.
+
+The numpy oracle follows Scene.find_minimum_projected_pixel_size_python
+(scene/__init__.py:104-140) and sphereEllipsoidIntersectionCUDA
+(redundancy_score.cu:119-183) literally.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from reduced3dgs_tpu.cameras import Camera
+from reduced3dgs_tpu.ops import redundancy as R
+from reduced3dgs_tpu.ops.transforms import quat_to_rotmat
+
+
+def make_cams():
+    return [
+        Camera.look_at(eye=e, target=(0, 0, 0), width=64, height=48, uid=i)
+        for i, e in enumerate([(0, 0, -3), (2.5, 0.5, -1.5), (-2, 1, -2)])
+    ]
+
+
+def np_min_pixel_size(xyz, cams):
+    out = np.full(len(xyz), 1e4)
+    for cam in cams:
+        m = cam.full_proj_transform  # transposed convention: p_hom = p @ M
+        inv = cam.inverse_full_proj_transform
+        ph = np.concatenate([xyz, np.ones((len(xyz), 1))], 1) @ m
+        pw = 1.0 / (ph[:, 3] + 1e-7)
+        pp = ph[:, :3] * pw[:, None]
+        inside = ((np.abs(pp[:, 0]) <= 1) & (np.abs(pp[:, 1]) <= 1)
+                  & (pp[:, 2] >= 0) & (pp[:, 2] <= 1))
+        step = 2.0 / cam.width if cam.width > cam.height else 2.0 / cam.height
+        dx = step if cam.width > cam.height else 0.0
+        dy = 0.0 if cam.width > cam.height else step
+        for i in np.nonzero(inside)[0]:
+            d = pp[i, 2]
+            pe = np.array([dx, dy, d, 1.0]) @ inv
+            pe = pe[:3] / (pe[3] + 1e-7)
+            ps = np.array([0.0, 0.0, d, 1.0]) @ inv
+            ps = ps[:3] / (ps[3] + 1e-7)
+            out[i] = min(out[i], np.linalg.norm(pe - ps))
+    return out
+
+
+def test_min_pixel_size_matches_numpy():
+    rng = np.random.default_rng(0)
+    xyz = rng.uniform(-1, 1, (50, 3)).astype(np.float32)
+    cams = make_cams()
+    projs = jnp.stack([jnp.asarray(c.full_proj_transform) for c in cams])
+    invs = jnp.stack(
+        [jnp.asarray(c.inverse_full_proj_transform) for c in cams])
+    hts = jnp.array([c.height for c in cams])
+    wds = jnp.array([c.width for c in cams])
+    got = np.asarray(R.min_projected_pixel_size(
+        jnp.asarray(xyz), projs, invs, hts, wds))
+    want = np_min_pixel_size(xyz, cams)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+
+def test_sphere_ellipsoid_matches_numpy():
+    rng = np.random.default_rng(1)
+    n, k = 40, 8
+    xyz = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    scales = rng.uniform(0.05, 0.3, (n, 3)).astype(np.float32)
+    q = rng.normal(0, 1, (n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    nbrs = np.stack([rng.permutation(n)[:k] for _ in range(n)])
+    radius = rng.uniform(0.01, 0.2, n).astype(np.float32)
+
+    counts, mask = R.sphere_ellipsoid_intersection(
+        jnp.asarray(xyz), jnp.asarray(scales), jnp.asarray(q),
+        jnp.asarray(nbrs), jnp.asarray(radius))
+
+    rmats = np.asarray(quat_to_rotmat(jnp.asarray(q)))
+    want = np.zeros((n, k), bool)
+    for i in range(n):
+        for jj, j in enumerate(nbrs[i]):
+            diff = xyz[i] - xyz[j]
+            aug = scales[j] + radius[i]
+            # reference quirk: the POINT's own rotation (R[idx])
+            local = diff @ rmats[i]
+            want[i, jj] = np.sum((local / aug) ** 2) < 1.0
+    np.testing.assert_array_equal(np.asarray(mask), want)
+    np.testing.assert_array_equal(np.asarray(counts), want.sum(1))
+
+
+def test_allocate_min_redundancy():
+    vals = jnp.asarray([5, 2, 9, 1], jnp.int32)
+    nbrs = jnp.asarray([[1, 2], [0, 3], [3, 0], [2, 1]], jnp.int32)
+    mask = jnp.asarray([[1, 1], [1, 0], [1, 1], [0, 1]], bool)
+    got = np.asarray(R.allocate_min_redundancy(vals, nbrs, mask, 4))
+    # receiver j gets min of vals[i] over senders i whose masked
+    # neighbour list contains j
+    want = np.array([
+        2,  # 0 <- from 1 (2) and 2 (9)
+        1,  # 1 <- from 0 (5) and 3 (1)
+        5,  # 2 <- from 0 (5); 3's entry for 2 is masked off
+        9,  # 3 <- from 2 (9); 1's entry for 3 is masked off
+    ])
+    np.testing.assert_array_equal(got, want)
