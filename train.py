@@ -84,10 +84,13 @@ def main():
     background = jnp.asarray(
         [1.0, 1.0, 1.0] if dataset.white_background else [0.0, 0.0, 0.0])
 
+    # the reference's torch dual-path flags select the jnp oracle here
+    backend = ("xla" if (pipe.convert_SHs_python or pipe.compute_cov3D_python)
+               else pipe.backend)
     trainer = Trainer(
         scene.pool, opt, scene.get_train_cameras(),
         spatial_lr_scale=scene.cameras_extent, background=background,
-        backend=pipe.backend, max_sh_degree=dataset.sh_degree,
+        backend=backend, max_sh_degree=dataset.sh_degree,
         seed=args.seed, cull_sh_iterations=args.cull_SH, scene=scene,
     )
     trainer.extent = scene.cameras_extent
