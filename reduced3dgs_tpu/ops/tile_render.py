@@ -213,7 +213,7 @@ def _fwd_kernel(grid_x, width, height, max_chunks, num_tiles,
         # first tile index >= t with a nonempty range (clamped reads)
         def cond(tt):
             ts = jnp.minimum(tt, num_tiles - 1)
-            return (tt < num_tiles) & (ranges_ref[ts, 1] <= ranges_ref[ts, 0])
+            return (tt < num_tiles) & (ranges_ref[1, ts] <= ranges_ref[0, ts])
 
         return jax.lax.while_loop(cond, lambda tt: tt + 1, t)
 
@@ -246,8 +246,8 @@ def _fwd_kernel(grid_x, width, height, max_chunks, num_tiles,
 
         dma(j, slot).wait()
 
-        start_t = ranges_ref[t, 0]
-        end_t = ranges_ref[t, 1]
+        start_t = ranges_ref[0, t]
+        end_t = ranges_ref[1, t]
         st = _chunk_state(buf[slot], pxf, pyf, pokf > 0.5, j * K, end_t,
                           t_carry, done)
         w = st["a_eff"] * st["t_exc"]  # (256, K)
@@ -340,8 +340,8 @@ def _bwd_kernel(grid_x, width, height, max_chunks, num_tiles,
     base = base_ref[0]
 
     def tile_body(t, _):
-        start = pl.multiple_of(ranges_ref[t, 0], K)
-        end = ranges_ref[t, 1]
+        start = pl.multiple_of(ranges_ref[0, t], K)
+        end = ranges_ref[1, t]
         pxf, pyf, pix_ok = _pixel_coords(base + t, grid_x, width, height)
         n_chunks = jnp.minimum(pl.cdiv(end - start, K), max_chunks)
 
@@ -472,8 +472,8 @@ def _trans_kernel(grid_x, width, height, max_chunks, num_tiles,
     base = base_ref[0]
 
     def tile_body(t, _):
-        start = pl.multiple_of(ranges_ref[t, 0], K)
-        end = ranges_ref[t, 1]
+        start = pl.multiple_of(ranges_ref[0, t], K)
+        end = ranges_ref[1, t]
         pxf, pyf, pix_ok = _pixel_coords(base + t, grid_x, width, height)
         n_chunks = jnp.minimum(pl.cdiv(end - start, K), max_chunks)
 
@@ -536,10 +536,13 @@ def _trans_kernel(grid_x, width, height, max_chunks, num_tiles,
 # ---------------------------------------------------------------------------
 
 def _grid_spec(num_inputs, num_outputs, scratch_shapes):
+    # ranges travel as a (2, num_tiles) int32 VMEM input — at 1080p that
+    # is 8160 tiles = 65 KB, past the SMEM capacity scalar prefetch uses.
     return pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # base, ranges
+        num_scalar_prefetch=1,  # base (+ total_chunks)
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_inputs,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * num_inputs,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_outputs,
         scratch_shapes=scratch_shapes,
     )
@@ -662,7 +665,8 @@ def _core_fwd(means2d, conic, opacity, color, binning, base, width, height,
     out_init = jnp.zeros((PIX_ROWS, num_tiles * NPIX), jnp.float32)
     out_init = out_init.at[3, :].set(1.0)  # empty tiles: T = 1
     base2 = jnp.concatenate([base, (binning.total_padded // K).reshape(1)])
-    (packed,) = fwd(base2, binning.tile_ranges, feat, out_init)
+    ranges2 = binning.tile_ranges.T  # (2, num_tiles) for VMEM tiling
+    (packed,) = fwd(base2, ranges2, feat, out_init)
     res = (feat, binning, base, packed, means2d.shape[0])
     return packed, res
 
@@ -675,7 +679,7 @@ def _core_bwd(width, height, num_rows, res, g_packed):
     max_chunks = pl.cdiv(b_pad, K)
     bwd = _build_bwd(num_tiles, grid_x, width, height, b_pad, max_chunks,
                      _interpret())
-    (dfeat,) = bwd(base, binning.tile_ranges, feat, g_packed, packed)
+    (dfeat,) = bwd(base, binning.tile_ranges.T, feat, g_packed, packed)
 
     # ONE row segment-sum per Gaussian.  Alignment-slack slots carry
     # written zeros; the unwritten tail past total_padded is dropped via
@@ -745,7 +749,7 @@ def tile_render(prep: PreprocessOut, binning: BinningOut, background,
                              b_pad, max_chunks, _interpret())
         base2 = jnp.concatenate(
             [base, (binning.total_padded // K).reshape(1)])
-        (acc,) = trans(base2, binning.tile_ranges, feat)
+        (acc,) = trans(base2, binning.tile_ranges.T, feat)
         num_p = prep.means2d.shape[0]
         slot = jnp.arange(b_pad, dtype=jnp.int32)
         seg_id = jnp.where(
