@@ -662,8 +662,13 @@ def _core_fwd(means2d, conic, opacity, color, binning, base, width, height,
     max_chunks = pl.cdiv(b_pad, K)
     fwd = _build_fwd(num_tiles, grid_x, width, height, b_pad, max_chunks,
                      _interpret())
-    out_init = jnp.zeros((PIX_ROWS, num_tiles * NPIX), jnp.float32)
-    out_init = out_init.at[3, :].set(1.0)  # empty tiles: T = 1
+    # empty-tile answer: color 0, T 1.  Built with a runtime dependency so
+    # XLA cannot constant-fold it into a giant literal (at 1080p this is a
+    # 67 MB array; folding it stalls the remote AOT compile).
+    is_t_row = (jax.lax.broadcasted_iota(
+        jnp.int32, (PIX_ROWS, num_tiles * NPIX), 0) == 3)
+    one = (binning.num_rendered * 0 + 1).astype(jnp.float32)
+    out_init = jnp.where(is_t_row, one, 0.0)
     base2 = jnp.concatenate([base, (binning.total_padded // K).reshape(1)])
     ranges2 = binning.tile_ranges.T  # (2, num_tiles) for VMEM tiling
     (packed,) = fwd(base2, ranges2, feat, out_init)
