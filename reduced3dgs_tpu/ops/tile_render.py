@@ -93,10 +93,18 @@ def _tri_incl():
 
 
 def _cumsum_incl_lanes(x):
-    """Inclusive cumulative sum along lanes via the MXU."""
+    """Inclusive cumulative sum along lanes via the MXU.
+
+    Precision.HIGHEST: the MXU natively multiplies bf16; default
+    precision would run one bf16 pass (~1e-3 relative error) which leaks
+    straight into the transmittance chain.  HIGHEST uses the f32
+    multi-pass — these matmuls are tiny (256x128x128) so the extra
+    passes are noise next to the DMA time.
+    """
     return jax.lax.dot_general(
         x, _tri_incl(), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -254,6 +262,7 @@ def _fwd_kernel(grid_x, width, height, max_chunks, num_tiles,
         acc = acc + jax.lax.dot_general(
             w, st["rgb"], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         nc = nc + jnp.sum(st["contrib"].astype(jnp.float32), axis=1,
                           keepdims=True)
@@ -396,6 +405,7 @@ def _bwd_kernel(grid_x, width, height, max_chunks, num_tiles,
             dcol = jax.lax.dot_general(
                 g, w, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
 
             # suffix sums S_i = S_total - inclusive prefix, per channel
@@ -536,13 +546,15 @@ def _trans_kernel(grid_x, width, height, max_chunks, num_tiles,
 # ---------------------------------------------------------------------------
 
 def _grid_spec(num_inputs, num_outputs, scratch_shapes):
-    # ranges travel as a (2, num_tiles) int32 VMEM input — at 1080p that
-    # is 8160 tiles = 65 KB, past the SMEM capacity scalar prefetch uses.
+    # base (+total_chunks) and the (2, num_tiles) int32 tile ranges are
+    # scalar-prefetch operands: they live in SMEM, where Mosaic supports
+    # fully dynamic scalar indexing (a VMEM vector.load of ranges[1, t]
+    # cannot be proven lane-aligned and fails to compile on hardware).
+    # At 1080p the ranges are 2*8160*4 = 65 KB of SMEM.
     return pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # base (+ total_chunks)
+        num_scalar_prefetch=2,  # base (+ total_chunks), tile ranges
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec(memory_space=pl.ANY)] * num_inputs,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_inputs,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_outputs,
         scratch_shapes=scratch_shapes,
     )
