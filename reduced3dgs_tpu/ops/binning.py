@@ -35,11 +35,14 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from reduced3dgs_tpu.ops.preprocess import PreprocessOut, tile_grid
 
 ALIGN = 128  # must equal tile_render.K
-_MAXI = jnp.int32(2**31 - 1)
+# numpy, not jnp: a module-level device scalar would initialize the JAX
+# backend at import time, before platform.setup() can pin jax_platforms.
+_MAXI = np.int32(2**31 - 1)
 
 
 class BinningOut(NamedTuple):
@@ -139,11 +142,15 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
         (tile, dkey, gauss_c), num_keys=2, is_stable=True
     )
 
-    tile_idx = jnp.arange(num_tiles, dtype=jnp.int32)
-    range_start = jnp.searchsorted(tile_s, tile_idx, side="left").astype(
-        jnp.int32)
-    range_end = jnp.searchsorted(tile_s, tile_idx, side="right").astype(
-        jnp.int32)
+    # one searchsorted over T+1 boundaries: for integer tiles,
+    # side-left at t+1 == side-right at t, so start/end come from one
+    # call (each query costs ~20 serial descriptor gathers on TPU —
+    # halving the query count halves the dominant binning search cost).
+    bounds = jnp.searchsorted(
+        tile_s, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    range_start = bounds[:-1]
+    range_end = bounds[1:]
     tcounts = range_end - range_start
 
     # --- K-aligned relocation via sort #2 ------------------------------
@@ -157,13 +164,24 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
     n_extra = b_pad - budget
 
     # synthetic padding instances: pad slot k belongs to the tile whose
-    # cumulative padding need exceeds k (searchsorted over the cumsum);
-    # their (tile, MAX_KEY) keys sort to each tile's alignment slack.
-    pad_need = jnp.cumsum(padded - tcounts)
-    pad_tile = jnp.searchsorted(
-        pad_need, jnp.arange(n_extra, dtype=jnp.int32), side="right"
-    ).astype(jnp.int32)
-    pad_tile = jnp.minimum(pad_tile, num_tiles)
+    # cumulative padding need covers k; their (tile, MAX_KEY) keys sort
+    # into each tile's alignment slack.  searchsorted here would be
+    # n_extra queries x ~10 serial gathers (~60 ms/M measured on v5e);
+    # instead reuse the marker-scatter + running-max expand: each tile
+    # with nonzero padding scatters its id at its first pad slot (tile
+    # ids increase with slot, so collisions cannot occur), a sentinel
+    # num_tiles marks the end of all real padding, and a max-scan fills
+    # the gaps — T+1 descriptors + one scan instead of n_extra searches.
+    pad_counts = padded - tcounts
+    pad_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(pad_counts)])  # (T+1,)
+    pmark_pos = jnp.where(
+        jnp.concatenate([pad_counts > 0,
+                         jnp.ones((1,), bool)]),  # sentinel always marks
+        pad_start, n_extra)
+    pmarkers = jnp.zeros((n_extra,), jnp.int32).at[pmark_pos].max(
+        jnp.arange(num_tiles + 1, dtype=jnp.int32), mode="drop")
+    pad_tile = jax.lax.associative_scan(jnp.maximum, pmarkers)
 
     all_tiles = jnp.concatenate([tile_s, pad_tile])
     all_keys = jnp.concatenate([dkey_s, jnp.full((n_extra,), _MAXI)])

@@ -11,6 +11,7 @@ a (P, 16) banded mask is a single fused multiply.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 SH_C0 = 0.28209479177387814
 SH_C1 = 0.4886025119029199
@@ -34,8 +35,11 @@ SH_C3 = (
 # Number of coefficients at degree d (inclusive): (d+1)^2
 NUM_COEFFS = {0: 1, 1: 4, 2: 9, 3: 16}
 
-# For coefficient index c (0..15), the band it belongs to.
-_COEFF_BAND = jnp.array([0] + [1] * 3 + [2] * 5 + [3] * 7, dtype=jnp.int32)
+# For coefficient index c (0..15), the band it belongs to.  numpy, not
+# jnp: a module-level device array would initialize the JAX backend at
+# import time, before the CLIs' platform.setup() can pin jax_platforms
+# (the sandbox registers a hardware backend in sitecustomize).
+_COEFF_BAND = np.array([0] + [1] * 3 + [2] * 5 + [3] * 7, dtype=np.int32)
 
 
 def rgb_to_sh(rgb):
