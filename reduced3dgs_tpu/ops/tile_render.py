@@ -173,11 +173,23 @@ def _pixel_coords(t, grid_x, width, height):
     return px.astype(jnp.float32), py.astype(jnp.float32), pix_ok
 
 
-def _zero_fill_tail(vbuf, out_hbm, sem, start, i_from, i_to):
-    """Write zero chunks for slots [start+i_from*K, start+i_to*K)."""
+def _zero_fill_tail(vbuf, out_hbm, sem, pend, start, i_from, i_to):
+    """Write zero chunks for slots [start+i_from*K, start+i_to*K).
+
+    vbuf/sem are slot 0 of the double-buffered output path; a pending
+    slot-0 DMA is drained before the buffer is overwritten.  The zero
+    DMAs all read the same (unchanging) buffer, so they are issued
+    back-to-back and only the last one is awaited.
+    """
 
     @pl.when(i_from < i_to)
     def _():
+        @pl.when(pend[0] == 1)
+        def _():
+            pltpu.make_async_copy(
+                vbuf, out_hbm.at[:, pl.ds(start, K)], sem).wait()
+
+        pend[0] = 0
         vbuf[...] = jnp.zeros((FEAT_ROWS, K), jnp.float32)
 
         def zbody(i, _):
@@ -345,8 +357,10 @@ def _fwd_kernel(grid_x, width, height, max_chunks, num_tiles,
 
 def _bwd_kernel(grid_x, width, height, max_chunks, num_tiles,
                 base_ref, ranges_ref, feat_hbm, gpix_hbm, spix_hbm,
-                dfeat_hbm, buf, dbuf, gbuf, sbuf, sem, dsem, isem):
+                dfeat_hbm, buf, dbuf, gbuf, sbuf, pend, sem, dsem, isem):
     base = base_ref[0]
+    pend[0] = 0
+    pend[1] = 0
 
     def tile_body(t, _):
         start = pl.multiple_of(ranges_ref[0, t], K)
@@ -436,19 +450,31 @@ def _bwd_kernel(grid_x, width, height, max_chunks, num_tiles,
             def colsum(v):  # (256, K) -> (1, K)
                 return jnp.sum(v, axis=0, keepdims=True)
 
-            dbuf[0:1, :] = colsum(dpower * -(cxx * dx + cxy * dy))
-            dbuf[1:2, :] = colsum(dpower * -(cyy * dy + cxy * dx))
-            dbuf[2:3, :] = colsum(dpower * (-0.5 * dx * dx))
-            dbuf[3:4, :] = colsum(dpower * (-dx * dy))
-            dbuf[4:5, :] = colsum(dpower * (-0.5 * dy * dy))
-            dbuf[5:6, :] = colsum(dop)
-            dbuf[6:9, :] = dcol
-            dbuf[9:FEAT_ROWS, :] = jnp.zeros((FEAT_ROWS - 9, K), jnp.float32)
-            out_dma = pltpu.make_async_copy(
-                dbuf, dfeat_hbm.at[:, pl.ds(start + i * K, K)], dsem
-            )
-            out_dma.start()
-            out_dma.wait()
+            # double-buffered output: drain the previous DMA on this
+            # slot (same byte count, whatever tile issued it) before
+            # overwriting, start the new one, never block on it here.
+            ds = jax.lax.rem(i, 2)
+
+            def out_dma(sl):
+                return pltpu.make_async_copy(
+                    dbuf.at[sl], dfeat_hbm.at[:, pl.ds(start + i * K, K)],
+                    dsem.at[sl])
+
+            @pl.when(pend[ds] == 1)
+            def _():
+                out_dma(ds).wait()
+
+            dbuf[ds, 0:1, :] = colsum(dpower * -(cxx * dx + cxy * dy))
+            dbuf[ds, 1:2, :] = colsum(dpower * -(cyy * dy + cxy * dx))
+            dbuf[ds, 2:3, :] = colsum(dpower * (-0.5 * dx * dx))
+            dbuf[ds, 3:4, :] = colsum(dpower * (-dx * dy))
+            dbuf[ds, 4:5, :] = colsum(dpower * (-0.5 * dy * dy))
+            dbuf[ds, 5:6, :] = colsum(dop)
+            dbuf[ds, 6:9, :] = dcol
+            dbuf[ds, 9:FEAT_ROWS, :] = jnp.zeros(
+                (FEAT_ROWS - 9, K), jnp.float32)
+            out_dma(ds).start()
+            pend[ds] = 1
             return i + 1, st["t_out"], new_prefix, st["done"]
 
         init = (
@@ -466,10 +492,21 @@ def _bwd_kernel(grid_x, width, height, max_chunks, num_tiles,
         # Early exit leaves later slots of this tile's range unwritten;
         # their gradients are exactly zero (no contribution is possible
         # once every pixel is done) — zero-fill with DMA-only iterations.
-        _zero_fill_tail(dbuf, dfeat_hbm, dsem, start, i_stop, n_chunks)
+        _zero_fill_tail(dbuf.at[0], dfeat_hbm, dsem.at[0], pend, start,
+                        i_stop, n_chunks)
         return 0
 
     jax.lax.fori_loop(0, num_tiles, tile_body, 0)
+
+    def drain(sl):
+        @pl.when(pend[sl] == 1)
+        def _():
+            pltpu.make_async_copy(
+                dbuf.at[sl], dfeat_hbm.at[:, pl.ds(0, K)], dsem.at[sl]
+            ).wait()
+
+    drain(0)
+    drain(1)
 
 
 # ---------------------------------------------------------------------------
@@ -478,8 +515,10 @@ def _bwd_kernel(grid_x, width, height, max_chunks, num_tiles,
 
 def _trans_kernel(grid_x, width, height, max_chunks, num_tiles,
                   base_ref, ranges_ref, feat_hbm, acc_hbm,
-                  buf, abuf, sem, asem):
+                  buf, abuf, pend, sem, asem):
     base = base_ref[0]
+    pend[0] = 0
+    pend[1] = 0
 
     def tile_body(t, _):
         start = pl.multiple_of(ranges_ref[0, t], K)
@@ -513,18 +552,27 @@ def _trans_kernel(grid_x, width, height, max_chunks, num_tiles,
             dma_in(i, slot).wait()
             st = _chunk_state(buf[slot], pxf, pyf, pix_ok, start + i * K,
                               end, t_carry, done)
+            ds = jax.lax.rem(i, 2)
+
+            def out_dma(sl):
+                return pltpu.make_async_copy(
+                    abuf.at[sl], acc_hbm.at[:, pl.ds(start + i * K, K)],
+                    asem.at[sl])
+
+            @pl.when(pend[ds] == 1)
+            def _():
+                out_dma(ds).wait()
+
             # per-Gaussian mean-transmittance stats (forward.cu:560-565)
-            abuf[0:1, :] = jnp.sum(
+            abuf[ds, 0:1, :] = jnp.sum(
                 jnp.where(st["contrib"], st["t_exc"], 0.0), axis=0,
                 keepdims=True)
-            abuf[1:2, :] = jnp.sum(
+            abuf[ds, 1:2, :] = jnp.sum(
                 st["contrib"].astype(jnp.float32), axis=0, keepdims=True)
-            abuf[2:FEAT_ROWS, :] = jnp.zeros((FEAT_ROWS - 2, K), jnp.float32)
-            out_dma = pltpu.make_async_copy(
-                abuf, acc_hbm.at[:, pl.ds(start + i * K, K)], asem
-            )
-            out_dma.start()
-            out_dma.wait()
+            abuf[ds, 2:FEAT_ROWS, :] = jnp.zeros(
+                (FEAT_ROWS - 2, K), jnp.float32)
+            out_dma(ds).start()
+            pend[ds] = 1
             return i + 1, st["t_out"], st["done"]
 
         init = (jnp.int32(0), jnp.ones((NPIX, 1), jnp.float32),
@@ -535,10 +583,21 @@ def _trans_kernel(grid_x, width, height, max_chunks, num_tiles,
         def _():
             dma_in(i_stop, jax.lax.rem(i_stop, 2)).wait()
 
-        _zero_fill_tail(abuf, acc_hbm, asem, start, i_stop, n_chunks)
+        _zero_fill_tail(abuf.at[0], acc_hbm, asem.at[0], pend, start,
+                        i_stop, n_chunks)
         return 0
 
     jax.lax.fori_loop(0, num_tiles, tile_body, 0)
+
+    def drain(sl):
+        @pl.when(pend[sl] == 1)
+        def _():
+            pltpu.make_async_copy(
+                abuf.at[sl], acc_hbm.at[:, pl.ds(0, K)], asem.at[sl]
+            ).wait()
+
+    drain(0)
+    drain(1)
 
 
 # ---------------------------------------------------------------------------
@@ -593,11 +652,12 @@ def _build_bwd(num_tiles, grid_x, width, height, b_pad, max_chunks,
         kernel,
         grid_spec=_grid_spec(3, 1, [
             pltpu.VMEM((2, FEAT_ROWS, K), jnp.float32),
-            pltpu.VMEM((FEAT_ROWS, K), jnp.float32),
+            pltpu.VMEM((2, FEAT_ROWS, K), jnp.float32),
             pltpu.VMEM((PIX_ROWS, NPIX), jnp.float32),
             pltpu.VMEM((PIX_ROWS, NPIX), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ]),
         out_shape=[jax.ShapeDtypeStruct((FEAT_ROWS, b_pad), jnp.float32)],
@@ -614,9 +674,10 @@ def _build_trans(num_tiles, grid_x, width, height, b_pad, max_chunks,
         kernel,
         grid_spec=_grid_spec(1, 1, [
             pltpu.VMEM((2, FEAT_ROWS, K), jnp.float32),
-            pltpu.VMEM((FEAT_ROWS, K), jnp.float32),
+            pltpu.VMEM((2, FEAT_ROWS, K), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ]),
         out_shape=[jax.ShapeDtypeStruct((FEAT_ROWS, b_pad), jnp.float32)],
         interpret=interpret,
