@@ -80,20 +80,22 @@ def main():
         return l, nr, g
 
     p5 = args[:5]
+    px = width * height
+    print(f"config {width}x{height} n={n} budget={budget}", flush=True)
     t_prep = timeit(do_prep, *args)
+    print(f"preprocess        {t_prep:8.2f} ms", flush=True)
     t_bin = timeit(do_bin, *args)
+    print(f"prep+binning      {t_bin:8.2f} ms  (binning ~{t_bin-t_prep:.2f})",
+          flush=True)
     t_fwd = timeit(do_fwd, *args)
-    t_step = timeit(do_step, *p5)
     _, nr = do_fwd(*args)
     nr = int(nr)
-    px = width * height
-    print(f"config {width}x{height} n={n} budget={budget} "
-          f"num_rendered={nr} (trunc={nr > budget})")
-    print(f"preprocess        {t_prep:8.2f} ms")
-    print(f"prep+binning      {t_bin:8.2f} ms  (binning ~{t_bin-t_prep:.2f})")
-    print(f"full forward      {t_fwd:8.2f} ms  (pallas fwd ~{t_fwd-t_bin:.2f})")
-    print(f"fwd+bwd step      {t_step:8.2f} ms  (bwd ~{t_step-t_fwd:.2f})")
-    print(f"throughput        {px / (t_step/1e3):,.0f} px/s")
+    print(f"full forward      {t_fwd:8.2f} ms  (pallas fwd ~{t_fwd-t_bin:.2f})"
+          f"  num_rendered={nr} (trunc={nr > budget})", flush=True)
+    t_step = timeit(do_step, *p5)
+    print(f"fwd+bwd step      {t_step:8.2f} ms  (bwd ~{t_step-t_fwd:.2f})",
+          flush=True)
+    print(f"throughput        {px / (t_step/1e3):,.0f} px/s", flush=True)
 
 
 if __name__ == "__main__":

@@ -39,7 +39,7 @@ import numpy as np
 
 from reduced3dgs_tpu.ops.preprocess import PreprocessOut, tile_grid
 
-ALIGN = 128  # must equal tile_render.K
+ALIGN = 128  # must equal tile_render.K (kernel chunk width)
 # numpy, not jnp: a module-level device scalar would initialize the JAX
 # backend at import time, before platform.setup() can pin jax_platforms.
 _MAXI = np.int32(2**31 - 1)

@@ -20,16 +20,19 @@ Design (TPU-first, not a CUDA translation):
     block's 256 threads x shared-memory batch, but with the sequential
     per-instance loop replaced by *parallel-scan compositing*: the
     front-to-back transmittance recurrence T_i = prod_{j<i}(1-a_j) is a
-    log-depth Hillis-Steele scan over lanes; colour accumulation is a
-    (256,K)@(K,3) MXU matmul.
-  * All HBM buffers that the kernel slices are 2D with the large axis
-    minor (Mosaic pads an array's minor dimension to 128, so a minor
-    extent of 3/8/16 cannot be DMA-sliced): instance features/gradients
-    are feature-major (16, B) arrays sliced in lane-aligned (16, K)
-    chunks; per-pixel tile data (colors, transmittance, cotangents) are
-    packed (8, T*256) arrays sliced as (8, 256) blocks, with one small
-    transpose per tile to move between pixel-major compute vectors and
-    the feature-major rows.
+    triangular matmul (log-space prefix sum) on the MXU; the Gaussian
+    exponent is a quadratic-basis matmul; colour accumulation is a
+    (256,K)@(K,3) MXU matmul — the VPU keeps only the transcendentals
+    and masking.
+  * All HBM buffers the kernels slice are CHUNK-MAJOR 3D arrays whose
+    leading axis is the DMA unit: instance features/gradients are
+    (B/K, 16, K) so each chunk is one contiguous 8 KB burst, per-pixel
+    tile data (colors, transmittance, cotangents) are (T, 8, 256)
+    blocks.  (Slicing a feature-major 2D array costs 16 strided 512 B
+    segments per chunk — measured at a few GB/s effective, it was the
+    bottleneck of the whole rasterizer.)  The minor dim stays 128-wide
+    for Mosaic; one small transpose per tile moves between pixel-major
+    compute vectors and the packed rows.
   * The binning layout starts every tile's range at a K-aligned offset
     (ops/binning.py), so a chunk window never crosses tiles.
   * Early exit: a carried per-pixel `done` mask (float32 — Mosaic cannot
@@ -56,13 +59,20 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from reduced3dgs_tpu.ops.binning import BinningOut
+from reduced3dgs_tpu.ops.binning import ALIGN, BinningOut
 from reduced3dgs_tpu.ops.preprocess import TILE_X, TILE_Y, PreprocessOut, tile_grid
 
-K = 128  # instance chunk (lanes)
+# Instance chunk width (lanes per loop iteration) = binning alignment.
+# Measured on v5e: the kernels are compute-throughput-bound on the total
+# number of walked instance slots, so the chunk is kept at one vreg row
+# (128) — wider chunks amortize loop overhead but grow the per-tile
+# alignment slack (num_tiles * K slots), a measured net loss (K=512 was
+# 17% slower at 512p).  Scans decompose into 128-wide blocks either way.
+K = ALIGN  # = 128
+K0 = 128  # scan block (one MXU tile side)
 NPIX = TILE_X * TILE_Y  # 256 pixels per tile (sublanes in compute)
 FEAT_ROWS = 16  # packed feature rows per instance
-PIX_ROWS = 8  # packed per-pixel rows: [r, g, b, T, nc, 0, 0, 0]
+PIX_ROWS = 8  # packed per-pixel rows: [r, g, b, T, 0, 0, 0, 0]
 ALPHA_CLAMP = 0.99
 ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1.0e-4
@@ -74,107 +84,192 @@ def _interpret() -> bool:
     return _FORCE_INTERPRET or jax.default_backend() != "tpu"
 
 
+# Rejection threshold for the (MXU-evaluated) exponent.  The reference
+# kernel skips power > 0 (forward.cu:477) — analytically impossible for
+# a PSD conic (the +0.3 low-pass guarantees PSD), so the test only
+# guards garbage; evaluating power on the MXU leaves ~1e-4 absolute
+# error near zero, and a hard 0 test would chaotically drop peak
+# (pixel==center) lanes.  Accepting up to +POWER_EPS and clamping the
+# exponent to <=0 keeps every analytically-valid lane and changes alpha
+# by at most opacity*POWER_EPS.
+POWER_EPS = 1.0e-3
+_HALF_X = (TILE_X - 1) * 0.5
+_HALF_Y = (TILE_Y - 1) * 0.5
+
+
 # ---------------------------------------------------------------------------
 # lane-axis scans as MXU matmuls
 #
 # Lane shifts are expensive in the Mosaic lowering (cross-vreg permutes),
-# so prefix sums along the K instance lanes are computed as one
-# (256,K)@(K,K) triangular matmul on the MXU (~0.1us) instead of a
-# log-depth shift network; the transmittance cumprod goes through
-# log1p/exp around the matmul (f32 roundtrip error ~1e-7, far below the
-# rasterizer's parity tolerances).
+# so prefix sums along the K instance lanes are computed as triangular
+# matmuls on the MXU instead of a log-depth shift network; the
+# transmittance cumprod goes through log1p/exp around the matmul (f32
+# roundtrip error ~1e-7, far below the rasterizer's parity tolerances).
 # ---------------------------------------------------------------------------
 
-def _tri_incl():
-    """(K, K) upper-triangular ones: (x @ T)[:, i] = sum_{j<=i} x[:, j]."""
-    row = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
-    return (row <= col).astype(jnp.float32)
+def _tri(excl):
+    """(K0, K0) triangular ones: (x @ T)[:, i] = sum over j<=i (or j<i)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (K0, K0), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (K0, K0), 1)
+    return ((row < col) if excl else (row <= col)).astype(jnp.float32)
 
 
-def _cumsum_incl_lanes(x):
-    """Inclusive cumulative sum along lanes via the MXU.
+# Mosaic exposes only DEFAULT (one bf16 pass, ~4e-3 input rounding) and
+# HIGHEST (six passes).  One pass is too coarse for the transmittance
+# chain; six is 3x more MXU time than needed.  We emulate the 2/3-pass
+# middle ground by hand: x = hi + lo with hi the bf16 rounding of x —
+# hi is *exactly* representable in bf16, so a DEFAULT matmul of hi
+# against an exactly-representable operand is error-free, and the lo
+# residual (|lo| <= 4e-3|x|) carries the correction in a second pass.
 
-    Precision.HIGHEST: the MXU natively multiplies bf16; default
-    precision would run one bf16 pass (~1e-3 relative error) which leaks
-    straight into the transmittance chain.  HIGHEST uses the f32
-    multi-pass — these matmuls are tiny (256x128x128) so the extra
-    passes are noise next to the DMA time.
-    """
+
+def _bf16_split(x):
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, x - hi
+
+
+def _mm1(a, b, dims):
     return jax.lax.dot_general(
-        x, _tri_incl(), (((1,), (0,)), ((), ())),
+        a, b, (dims, ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.DEFAULT,
     )
+
+
+def _mm_xb(a, b, dims):
+    """a @ b with `a` exactly bf16-representable: split b, 2 passes."""
+    b_hi, b_lo = _bf16_split(b)
+    return _mm1(a, b_hi, dims) + _mm1(a, b_lo, dims)
+
+
+def _mm_x3(a, b, dims):
+    """a @ b with both operands general f32: 3 passes (~2e-6 relative,
+    the hand-rolled equivalent of the BF16_BF16_F32_X3 algorithm)."""
+    a_hi, a_lo = _bf16_split(a)
+    b_hi, b_lo = _bf16_split(b)
+    return (_mm1(a_hi, b_hi, dims) + _mm1(a_hi, b_lo, dims)
+            + _mm1(a_lo, b_hi, dims))
+
+
+def _scan_lanes(x, excl=False):
+    """(In/Ex)clusive cumulative sum along the K lanes via the MXU.
+
+    Hierarchical: each 128-lane block is one triangular matmul (so MXU
+    cost stays linear in K instead of K^2), chained by a per-block total
+    carried in f32.  The triangular ones-matrix is exact in bf16, so the
+    split-x 2-pass scheme gives f32-grade prefix sums (|x| <= |log T_EPS|
+    ~ 9.2, so the residual pass bounds the error by ~4e-6 absolute)."""
+    t = _tri(excl)
+    d = ((1,), (0,))
+    outs = []
+    carry = None
+    for s in range(K // K0):
+        blk = x[:, s * K0:(s + 1) * K0]
+        b_hi, b_lo = _bf16_split(blk)
+        sc = _mm1(b_hi, t, d) + _mm1(b_lo, t, d)
+        outs.append(sc if carry is None else sc + carry)
+        if s + 1 < K // K0:
+            tot = jnp.sum(blk, axis=1, keepdims=True)
+            carry = tot if carry is None else carry + tot
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
 # ---------------------------------------------------------------------------
 # shared per-chunk compositing math — (256 pixels, K instances)
+#
+# The Gaussian exponent power(p, i) = -0.5 dx'Cdx is a quadratic in the
+# pixel coords, so for a whole chunk it is ONE (256,8)@(8,K) MXU matmul
+# power = basis @ coef: `basis` is a constant per-pixel quadratic basis
+# in tile-centered coordinates (the centering bounds every product term
+# by ~(3 + 16/sigma)^2, keeping the f32 expansion error ~1e-4 — raw
+# pixel coords would lose ~half the mantissa to cancellation), and
+# `coef` collects the per-instance conic/center terms with ~12 cheap
+# (1,K) ops.  This replaces ~10 full (256,K) VPU ops per chunk.
 # ---------------------------------------------------------------------------
 
-def _chunk_state(f, pxf, pyf, pix_ok, idx_global, end, t_in, done_in):
+def _make_basis():
+    """Constant (256, 8) quadratic pixel basis, tile-centered:
+    [px'^2, px'py', py'^2, px', py', 1, 0, 0]."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 1), 0)
+    pxc = (p % TILE_X).astype(jnp.float32) - _HALF_X
+    pyc = (p // TILE_X).astype(jnp.float32) - _HALF_Y
+    one = jnp.ones((NPIX, 1), jnp.float32)
+    zero = jnp.zeros((NPIX, 2), jnp.float32)
+    return jnp.concatenate(
+        [pxc * pxc, pxc * pyc, pyc * pyc, pxc, pyc, one, zero], axis=1)
+
+
+def _chunk_state(f, basis, cx, cy, idx_global, end, t_in, done_in):
     """Recompute the blend state for one (256, K) chunk.
 
-    f: (16, K) feature-major chunk; t_in/done_in: (256, 1) carries.
+    f: (16, K) feature-major chunk; basis: (256, 8) constant pixel
+    basis; cx/cy: scalar tile-center pixel coords; t_in/done_in:
+    (256, 1) carries.  Pixels outside the image are handled by seeding
+    done_in=1 at tile start (they never contribute); `done_in` is a
+    (256,1) float32 0/1 mask — Mosaic cannot carry i1 vectors through
+    scf.while, so booleans live as floats in carries.
     """
-    x = f[0:1, :]
-    y = f[1:2, :]
+    x = f[0:1, :] - cx  # tile-centered instance coords (1, K)
+    y = f[1:2, :] - cy
     cxx = f[2:3, :]
     cxy = f[3:4, :]
     cyy = f[4:5, :]
     op = f[5:6, :]
 
-    dx = x - pxf  # (256, K)
-    dy = y - pyf
-    power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
-    g = jnp.exp(power)
-    alpha_raw = op * g
-    alpha = jnp.minimum(ALPHA_CLAMP, alpha_raw)
+    c3 = cxx * x + cxy * y
+    c4 = cyy * y + cxy * x
+    c5 = -0.5 * (cxx * x * x + cyy * y * y) - cxy * x * y
+    coef = jnp.concatenate(
+        [-0.5 * cxx, -cxy, -0.5 * cyy, c3, c4, c5,
+         jnp.zeros((2, K), jnp.float32)], axis=0)  # (8, K)
+    power = _mm_xb(basis, coef, ((1,), (0,)))  # (256, K)
+    g = jnp.exp(jnp.minimum(power, 0.0))
+    alpha = jnp.minimum(ALPHA_CLAMP, op * g)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (NPIX, K), 1)
     in_range = (idx_global + lane) < end
-    valid = in_range & (power <= 0.0) & (alpha >= ALPHA_MIN) & pix_ok
+    valid = in_range & (power <= POWER_EPS) & (alpha >= ALPHA_MIN)
 
     a = jnp.where(valid, alpha, 0.0)
     lg = jnp.log1p(-a)
-    cums = _cumsum_incl_lanes(lg)  # log prod_{j<=i} (1-a_j)
-    t_inc = t_in * jnp.exp(cums)  # T after instance i
-    t_exc = t_in * jnp.exp(cums - lg)  # T before instance i
-    # `done_in` is a (256,1) float32 0/1 mask: Mosaic cannot carry i1
-    # vectors through scf.while, so booleans live as floats in carries.
+    exc = _scan_lanes(lg, excl=True)  # log prod_{j<i} (1-a_j)
+    t_exc = t_in * jnp.exp(exc)  # T before instance i
+    t_inc = t_exc * (1.0 - a)  # T after instance i
     not_done = done_in < 0.5
-    live = valid & not_done
-    contrib = live & (t_inc >= T_EPS)
-    cut = live & (t_inc < T_EPS)
-    done_out = jnp.maximum(
-        done_in, jnp.max(cut.astype(jnp.float32), axis=1, keepdims=True)
-    )
+    contrib = valid & not_done & (t_inc >= T_EPS)
+    # t_inc is monotone along lanes (a >= 0), so "some pixel crossed
+    # T_EPS in this chunk" is just the last column — no lane reduction.
+    t_last = t_inc[:, K - 1: K]
+    done_out = jnp.maximum(done_in,
+                           (t_last < T_EPS).astype(jnp.float32))
     a_eff = jnp.where(contrib, a, 0.0)
     # T after this chunk = T after the last contributing instance; the
     # masked min over the (monotone) scan avoids reduce_prod, which the
     # Mosaic lowering lacks, and stays bit-consistent with the weights.
     t_out = jnp.min(jnp.where(contrib, t_inc, t_in), axis=1, keepdims=True)
     return dict(
-        a=a, g=g, dx=dx, dy=dy, alpha_raw=alpha_raw,
+        a=a, g=g, x=x, y=y,
         t_exc=t_exc, contrib=contrib, a_eff=a_eff,
         done=done_out, t_out=t_out,
         rgb=f[6:9, :],  # (3, K)
     )
 
 
-def _pixel_coords(t, grid_x, width, height):
-    """Per-(global)tile pixel center coords (256,1) + validity mask."""
+def _tile_info(t, grid_x, width, height):
+    """Scalar tile-center coords + (256,1) f32 pixel-validity mask."""
     tx = t % grid_x
     ty = t // grid_x
+    cx = tx.astype(jnp.float32) * TILE_X + _HALF_X
+    cy = ty.astype(jnp.float32) * TILE_Y + _HALF_Y
     p = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 1), 0)
     px = tx * TILE_X + p % TILE_X
     py = ty * TILE_Y + p // TILE_X
     pix_ok = (px < width) & (py < height)
-    return px.astype(jnp.float32), py.astype(jnp.float32), pix_ok
+    return cx, cy, pix_ok.astype(jnp.float32)
 
 
-def _zero_fill_tail(vbuf, out_hbm, sem, pend, start, i_from, i_to):
-    """Write zero chunks for slots [start+i_from*K, start+i_to*K).
+def _zero_fill_tail(vbuf, out_hbm, sem, pend, c0, i_from, i_to):
+    """Write zero chunks for chunk slots [c0+i_from, c0+i_to).
 
     vbuf/sem are slot 0 of the double-buffered output path; a pending
     slot-0 DMA is drained before the buffer is overwritten.  The zero
@@ -186,16 +281,13 @@ def _zero_fill_tail(vbuf, out_hbm, sem, pend, start, i_from, i_to):
     def _():
         @pl.when(pend[0] == 1)
         def _():
-            pltpu.make_async_copy(
-                vbuf, out_hbm.at[:, pl.ds(start, K)], sem).wait()
+            pltpu.make_async_copy(vbuf, out_hbm.at[c0], sem).wait()
 
         pend[0] = 0
         vbuf[...] = jnp.zeros((FEAT_ROWS, K), jnp.float32)
 
         def zbody(i, _):
-            dma = pltpu.make_async_copy(
-                vbuf, out_hbm.at[:, pl.ds(start + i * K, K)], sem
-            )
+            dma = pltpu.make_async_copy(vbuf, out_hbm.at[c0 + i], sem)
             dma.start()
             dma.wait()
             return 0
@@ -228,6 +320,7 @@ def _fwd_kernel(grid_x, width, height, max_chunks, num_tiles,
     total_chunks = base_ref[1]
     pend[0] = 0
     pend[1] = 0
+    basis = _make_basis()
 
     def next_nonempty(t):
         # first tile index >= t with a nonempty range (clamped reads)
@@ -239,21 +332,20 @@ def _fwd_kernel(grid_x, width, height, max_chunks, num_tiles,
 
     def coords(t):
         ts = jnp.minimum(t, num_tiles - 1)
-        pxf, pyf, pix_ok = _pixel_coords(base + ts, grid_x, width, height)
-        return pxf, pyf, pix_ok.astype(jnp.float32)
+        return _tile_info(base + ts, grid_x, width, height)
 
     def dma(j, slot):
         return pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds(j * K, K)], buf.at[slot], sem.at[slot])
+            feat_hbm.at[j], buf.at[slot], sem.at[slot])
 
     t0 = next_nonempty(0)
-    pxf0, pyf0, pok0 = coords(t0)
+    cx0, cy0, pok0 = coords(t0)
 
     def cond(c):
         return c[0] < total_chunks
 
     def body(c):
-        (j, t, cold, t_carry, acc, nc, done, pxf, pyf, pokf) = c
+        (j, t, cold, t_carry, acc, done, cx, cy) = c
         slot = jax.lax.rem(j, 2)
 
         @pl.when(cold == 1)
@@ -268,22 +360,16 @@ def _fwd_kernel(grid_x, width, height, max_chunks, num_tiles,
 
         start_t = ranges_ref[0, t]
         end_t = ranges_ref[1, t]
-        st = _chunk_state(buf[slot], pxf, pyf, pokf > 0.5, j * K, end_t,
+        st = _chunk_state(buf[slot], basis, cx, cy, j * K, end_t,
                           t_carry, done)
         w = st["a_eff"] * st["t_exc"]  # (256, K)
-        acc = acc + jax.lax.dot_general(
-            w, st["rgb"], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        nc = nc + jnp.sum(st["contrib"].astype(jnp.float32), axis=1,
-                          keepdims=True)
+        acc = acc + _mm_x3(w, st["rgb"], ((1,), (1,)))
         t_carry = st["t_out"]
         done = st["done"]
 
         last_idx = start_t // K + pl.cdiv(end_t - start_t, K) - 1
         is_last = j == last_idx
-        all_done = jnp.min(jnp.where(pokf > 0.5, done, 1.0)) > 0.5
+        all_done = jnp.min(done) > 0.5
         do_fin = is_last | all_done
         jump = all_done & jnp.logical_not(is_last)
 
@@ -297,16 +383,15 @@ def _fwd_kernel(grid_x, width, height, max_chunks, num_tiles,
 
             def out_dma(sl):
                 return pltpu.make_async_copy(
-                    obuf.at[sl], out_hbm.at[:, pl.ds(t * NPIX, NPIX)],
-                    osem.at[sl])
+                    obuf.at[sl], out_hbm.at[t], osem.at[sl])
 
             @pl.when(pend[oslot] == 1)
             def _():
                 out_dma(oslot).wait()  # waits sem/bytes of the prior DMA
 
             pix = jnp.concatenate(
-                [acc, t_carry, nc,
-                 jnp.zeros((NPIX, PIX_ROWS - 5), jnp.float32)], axis=1)
+                [acc, t_carry,
+                 jnp.zeros((NPIX, PIX_ROWS - 4), jnp.float32)], axis=1)
             obuf[oslot] = pix.T  # (8, 256)
             out_dma(oslot).start()
             pend[oslot] = 1
@@ -316,27 +401,25 @@ def _fwd_kernel(grid_x, width, height, max_chunks, num_tiles,
             do_fin & (j_next != j + 1), jnp.int32(1), jnp.int32(0))
         t_next = jax.lax.cond(do_fin, lambda: next_nonempty(t + 1),
                               lambda: t)
-        npx, npy, npo = coords(t_next)
+        ncx, ncy, npo = coords(t_next)
         fin_f = do_fin.astype(jnp.float32)
         keep = 1.0 - fin_f
         return (
             j_next, t_next, cold_next,
             t_carry * keep + fin_f,  # reset T to 1
             acc * keep,
-            nc * keep,
-            done * keep,
-            jnp.where(do_fin, npx, pxf),
-            jnp.where(do_fin, npy, pyf),
-            jnp.where(do_fin, npo, pokf),
+            # dead (cropped) pixels start done so they never contribute
+            done * keep + fin_f * (1.0 - npo),
+            jnp.where(do_fin, ncx, cx),
+            jnp.where(do_fin, ncy, cy),
         )
 
     init = (
         jnp.int32(0), t0, jnp.int32(1),
         jnp.ones((NPIX, 1), jnp.float32),
         jnp.zeros((NPIX, 3), jnp.float32),
-        jnp.zeros((NPIX, 1), jnp.float32),
-        jnp.zeros((NPIX, 1), jnp.float32),
-        pxf0, pyf0, pok0,
+        1.0 - pok0,  # cropped pixels start done
+        cx0, cy0,
     )
     jax.lax.while_loop(cond, body, init)
 
@@ -344,7 +427,7 @@ def _fwd_kernel(grid_x, width, height, max_chunks, num_tiles,
         @pl.when(pend[sl] == 1)
         def _():
             pltpu.make_async_copy(
-                obuf.at[sl], out_hbm.at[:, pl.ds(0, NPIX)], osem.at[sl]
+                obuf.at[sl], out_hbm.at[0], osem.at[sl]
             ).wait()
 
     drain(0)
@@ -358,47 +441,75 @@ def _fwd_kernel(grid_x, width, height, max_chunks, num_tiles,
 def _bwd_kernel(grid_x, width, height, max_chunks, num_tiles,
                 base_ref, ranges_ref, feat_hbm, gpix_hbm, spix_hbm,
                 dfeat_hbm, buf, dbuf, gbuf, sbuf, pend, sem, dsem, isem):
+    """Backward tile walk.
+
+    Gradient structure (replacing the 3 per-channel suffix scans and 6
+    full-size reductions of the naive formulation):
+
+      * the channel sum collapses into ONE scan by linearity:
+        sum_ch g_ch * cumsum(w * c_ch) = cumsum(w * (g @ rgb)), so
+        dalpha = gc*t_exc - (q - Pgc)/(1-a) with gc = g @ rgb (one small
+        MXU matmul), q = g.s_total + g_t*T_fin (per-tile scalar), and a
+        single lane scan of w*gc;
+      * all geometric gradients come from moments M = basis^T @ dpower
+        (ONE (8,256)@(256,K) matmul): with dx = x' - px', the reductions
+        sum_p dpower*dx^2 etc. expand into combinations of the quadratic
+        moments, evaluated with ~25 cheap (1,K) ops — this replaces the
+        six (256,K) products + column reductions AND the dx/dy arrays.
+    """
     base = base_ref[0]
     pend[0] = 0
     pend[1] = 0
+    basis = _make_basis()
+
+    def pix_dma(t, slot):
+        g1 = pltpu.make_async_copy(
+            gpix_hbm.at[t], gbuf.at[slot], isem.at[slot, 0])
+        s1 = pltpu.make_async_copy(
+            spix_hbm.at[t], sbuf.at[slot], isem.at[slot, 1])
+        return g1, s1
+
+    g0, s0 = pix_dma(0, 0)
+    g0.start()
+    s0.start()
 
     def tile_body(t, _):
         start = pl.multiple_of(ranges_ref[0, t], K)
         end = ranges_ref[1, t]
-        pxf, pyf, pix_ok = _pixel_coords(base + t, grid_x, width, height)
+        cx, cy, pokf = _tile_info(base + t, grid_x, width, height)
         n_chunks = jnp.minimum(pl.cdiv(end - start, K), max_chunks)
+        pslot = jax.lax.rem(t, 2)
 
-        # per-tile pixel inputs: cotangents + saved forward output
-        i1 = pltpu.make_async_copy(
-            gpix_hbm.at[:, pl.ds(t * NPIX, NPIX)], gbuf, isem.at[0])
-        i2 = pltpu.make_async_copy(
-            spix_hbm.at[:, pl.ds(t * NPIX, NPIX)], sbuf, isem.at[1])
-        i1.start()
-        i2.start()
+        # prefetch the NEXT tile's pixel inputs while this tile computes
+        @pl.when(t + 1 < num_tiles)
+        def _():
+            gn, sn = pix_dma(t + 1, 1 - pslot)
+            gn.start()
+            sn.start()
 
         def dma_in(i, slot):
             return pltpu.make_async_copy(
-                feat_hbm.at[:, pl.ds(start + i * K, K)],
-                buf.at[slot], sem.at[slot],
-            )
+                feat_hbm.at[start // K + i], buf.at[slot], sem.at[slot])
 
         @pl.when(n_chunks > 0)
         def _():
             dma_in(0, 0).start()
 
-        i1.wait()
-        i2.wait()
-        gpix = gbuf[...].T  # (256, 8) pixel-major
-        spix = sbuf[...].T
-        g = gpix[:, 0:3]  # (256, 3) dL/dC
+        gw, sw = pix_dma(t, pslot)
+        gw.wait()
+        sw.wait()
+        gpix = gbuf[pslot].T  # (256, 8) pixel-major
+        spix = sbuf[pslot].T
+        gcol = gpix[:, 0:3]  # (256, 3) dL/dC
         g_t = gpix[:, 3:4]  # (256, 1) dL/dT_final
         s_total = spix[:, 0:3]  # (256, 3) composited color (no bg)
         t_fin = spix[:, 3:4]  # (256, 1)
+        # per-tile pixel scalar: q = sum_ch g_ch s_total_ch + g_t T_fin
+        q = jnp.sum(gcol * s_total, axis=1, keepdims=True) + g_t * t_fin
 
         def cond(c):
             i, _, _, done = c
-            alive = jnp.min(jnp.where(pix_ok, done, 1.0)) < 0.5
-            return (i < n_chunks) & alive
+            return (i < n_chunks) & (jnp.min(done) < 0.5)
 
         def body(c):
             i, t_carry, prefix, done = c
@@ -410,45 +521,34 @@ def _bwd_kernel(grid_x, width, height, max_chunks, num_tiles,
 
             dma_in(i, slot).wait()
             f = buf[slot]
-            st = _chunk_state(f, pxf, pyf, pix_ok, start + i * K, end,
+            st = _chunk_state(f, basis, cx, cy, start + i * K, end,
                               t_carry, done)
             a, t_exc, contrib = st["a"], st["t_exc"], st["contrib"]
             w = st["a_eff"] * t_exc  # (256, K)
 
             # dL/dcolor_i = sum_p w[p,i] * g[p,:]  -> (3, K)
-            dcol = jax.lax.dot_general(
-                g, w, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            # single bf16 pass: 4e-3 relative on a pure-gradient output
+            # is far inside the grad tolerance, at 1/3 the MXU passes
+            dcol = _mm1(gcol, w, ((0,), (0,)))
 
-            # suffix sums S_i = S_total - inclusive prefix, per channel
+            gc = _mm1(gcol, st["rgb"], ((1,), (0,)))  # (256, K), 1 pass
+            incl = prefix + _scan_lanes(w * gc)
             one_m = jnp.where(contrib, 1.0 - a, 1.0)
-            dalpha = jnp.zeros((NPIX, K), jnp.float32)
-            prefix_cols = []
-            for ch in range(3):
-                c_ch = st["rgb"][ch: ch + 1, :]  # (1, K)
-                wc = w * c_ch
-                pref_incl = prefix[:, ch: ch + 1] + _cumsum_incl_lanes(wc)
-                s_i = s_total[:, ch: ch + 1] - pref_incl  # (256, K)
-                g_ch = g[:, ch: ch + 1]
-                dalpha = dalpha + g_ch * (c_ch * t_exc - s_i / one_m)
-                prefix_cols.append(pref_incl[:, K - 1: K])
-            new_prefix = jnp.concatenate(prefix_cols, axis=1)  # (256, 3)
-            # final-transmittance cotangent: dT_fin/dalpha_i = -T_fin/(1-a)
-            dalpha = dalpha - g_t * t_fin / one_m
+            dalpha = gc * t_exc - (q - incl) / one_m
             dalpha = jnp.where(contrib, dalpha, 0.0)
 
-            # NOTE: like the reference (backward.cu:577,596), the 0.99
-            # alpha clamp is NOT gated in the gradient.
-            dop = st["g"] * dalpha
-            dg = f[5:6, :] * dalpha
-            dpower = st["g"] * dg
-            dx, dy = st["dx"], st["dy"]
+            # NOTE: like the reference (backward.cu:577,596), neither
+            # the 0.99 alpha clamp nor the power<=0 clamp is gated in
+            # the gradient.
+            op = f[5:6, :]
+            dpower = op * (st["g"] * dalpha)  # = op*g*dalpha
+            mom = _mm_xb(basis, dpower, ((0,), (0,)))  # (8, K) moments
+            mxx, mxy, myy = mom[0:1, :], mom[1:2, :], mom[2:3, :]
+            mx, my, m1 = mom[3:4, :], mom[4:5, :], mom[5:6, :]
+            x, y = st["x"], st["y"]
             cxx, cxy, cyy = f[2:3, :], f[3:4, :], f[4:5, :]
-
-            def colsum(v):  # (256, K) -> (1, K)
-                return jnp.sum(v, axis=0, keepdims=True)
+            ex = x * m1 - mx  # = sum_p dpower * dx
+            ey = y * m1 - my
 
             # double-buffered output: drain the previous DMA on this
             # slot (same byte count, whatever tile issued it) before
@@ -457,31 +557,31 @@ def _bwd_kernel(grid_x, width, height, max_chunks, num_tiles,
 
             def out_dma(sl):
                 return pltpu.make_async_copy(
-                    dbuf.at[sl], dfeat_hbm.at[:, pl.ds(start + i * K, K)],
-                    dsem.at[sl])
+                    dbuf.at[sl], dfeat_hbm.at[start // K + i], dsem.at[sl])
 
             @pl.when(pend[ds] == 1)
             def _():
                 out_dma(ds).wait()
 
-            dbuf[ds, 0:1, :] = colsum(dpower * -(cxx * dx + cxy * dy))
-            dbuf[ds, 1:2, :] = colsum(dpower * -(cyy * dy + cxy * dx))
-            dbuf[ds, 2:3, :] = colsum(dpower * (-0.5 * dx * dx))
-            dbuf[ds, 3:4, :] = colsum(dpower * (-dx * dy))
-            dbuf[ds, 4:5, :] = colsum(dpower * (-0.5 * dy * dy))
-            dbuf[ds, 5:6, :] = colsum(dop)
+            dbuf[ds, 0:1, :] = -(cxx * ex + cxy * ey)
+            dbuf[ds, 1:2, :] = -(cyy * ey + cxy * ex)
+            dbuf[ds, 2:3, :] = -0.5 * (x * x * m1 - 2.0 * x * mx + mxx)
+            dbuf[ds, 3:4, :] = -(x * y * m1 - x * my - y * mx + mxy)
+            dbuf[ds, 4:5, :] = -0.5 * (y * y * m1 - 2.0 * y * my + myy)
+            dbuf[ds, 5:6, :] = jnp.where(op > 0.0, m1 / jnp.where(
+                op > 0.0, op, 1.0), 0.0)  # dop = colsum(g*dalpha)
             dbuf[ds, 6:9, :] = dcol
             dbuf[ds, 9:FEAT_ROWS, :] = jnp.zeros(
                 (FEAT_ROWS - 9, K), jnp.float32)
             out_dma(ds).start()
             pend[ds] = 1
-            return i + 1, st["t_out"], new_prefix, st["done"]
+            return i + 1, st["t_out"], incl[:, K - 1: K], st["done"]
 
         init = (
             jnp.int32(0),
             jnp.ones((NPIX, 1), jnp.float32),
-            jnp.zeros((NPIX, 3), jnp.float32),
             jnp.zeros((NPIX, 1), jnp.float32),
+            1.0 - pokf,  # cropped pixels start done
         )
         i_stop, *_ = jax.lax.while_loop(cond, body, init)
 
@@ -492,8 +592,8 @@ def _bwd_kernel(grid_x, width, height, max_chunks, num_tiles,
         # Early exit leaves later slots of this tile's range unwritten;
         # their gradients are exactly zero (no contribution is possible
         # once every pixel is done) — zero-fill with DMA-only iterations.
-        _zero_fill_tail(dbuf.at[0], dfeat_hbm, dsem.at[0], pend, start,
-                        i_stop, n_chunks)
+        _zero_fill_tail(dbuf.at[0], dfeat_hbm, dsem.at[0], pend,
+                        start // K, i_stop, n_chunks)
         return 0
 
     jax.lax.fori_loop(0, num_tiles, tile_body, 0)
@@ -502,7 +602,7 @@ def _bwd_kernel(grid_x, width, height, max_chunks, num_tiles,
         @pl.when(pend[sl] == 1)
         def _():
             pltpu.make_async_copy(
-                dbuf.at[sl], dfeat_hbm.at[:, pl.ds(0, K)], dsem.at[sl]
+                dbuf.at[sl], dfeat_hbm.at[0], dsem.at[sl]
             ).wait()
 
     drain(0)
@@ -519,18 +619,17 @@ def _trans_kernel(grid_x, width, height, max_chunks, num_tiles,
     base = base_ref[0]
     pend[0] = 0
     pend[1] = 0
+    basis = _make_basis()
 
     def tile_body(t, _):
         start = pl.multiple_of(ranges_ref[0, t], K)
         end = ranges_ref[1, t]
-        pxf, pyf, pix_ok = _pixel_coords(base + t, grid_x, width, height)
+        cx, cy, pokf = _tile_info(base + t, grid_x, width, height)
         n_chunks = jnp.minimum(pl.cdiv(end - start, K), max_chunks)
 
         def dma_in(i, slot):
             return pltpu.make_async_copy(
-                feat_hbm.at[:, pl.ds(start + i * K, K)],
-                buf.at[slot], sem.at[slot],
-            )
+                feat_hbm.at[start // K + i], buf.at[slot], sem.at[slot])
 
         @pl.when(n_chunks > 0)
         def _():
@@ -538,8 +637,7 @@ def _trans_kernel(grid_x, width, height, max_chunks, num_tiles,
 
         def cond(c):
             i, _, done = c
-            alive = jnp.min(jnp.where(pix_ok, done, 1.0)) < 0.5
-            return (i < n_chunks) & alive
+            return (i < n_chunks) & (jnp.min(done) < 0.5)
 
         def body(c):
             i, t_carry, done = c
@@ -550,14 +648,13 @@ def _trans_kernel(grid_x, width, height, max_chunks, num_tiles,
                 dma_in(i + 1, 1 - slot).start()
 
             dma_in(i, slot).wait()
-            st = _chunk_state(buf[slot], pxf, pyf, pix_ok, start + i * K,
+            st = _chunk_state(buf[slot], basis, cx, cy, start + i * K,
                               end, t_carry, done)
             ds = jax.lax.rem(i, 2)
 
             def out_dma(sl):
                 return pltpu.make_async_copy(
-                    abuf.at[sl], acc_hbm.at[:, pl.ds(start + i * K, K)],
-                    asem.at[sl])
+                    abuf.at[sl], acc_hbm.at[start // K + i], asem.at[sl])
 
             @pl.when(pend[ds] == 1)
             def _():
@@ -576,15 +673,15 @@ def _trans_kernel(grid_x, width, height, max_chunks, num_tiles,
             return i + 1, st["t_out"], st["done"]
 
         init = (jnp.int32(0), jnp.ones((NPIX, 1), jnp.float32),
-                jnp.zeros((NPIX, 1), jnp.float32))
+                1.0 - pokf)  # cropped pixels start done
         i_stop, *_ = jax.lax.while_loop(cond, body, init)
 
         @pl.when(i_stop < n_chunks)
         def _():
             dma_in(i_stop, jax.lax.rem(i_stop, 2)).wait()
 
-        _zero_fill_tail(abuf.at[0], acc_hbm, asem.at[0], pend, start,
-                        i_stop, n_chunks)
+        _zero_fill_tail(abuf.at[0], acc_hbm, asem.at[0], pend,
+                        start // K, i_stop, n_chunks)
         return 0
 
     jax.lax.fori_loop(0, num_tiles, tile_body, 0)
@@ -593,7 +690,7 @@ def _trans_kernel(grid_x, width, height, max_chunks, num_tiles,
         @pl.when(pend[sl] == 1)
         def _():
             pltpu.make_async_copy(
-                abuf.at[sl], acc_hbm.at[:, pl.ds(0, K)], asem.at[sl]
+                abuf.at[sl], acc_hbm.at[0], asem.at[sl]
             ).wait()
 
     drain(0)
@@ -634,7 +731,7 @@ def _build_fwd(num_tiles, grid_x, width, height, b_pad, max_chunks,
             pltpu.SemaphoreType.DMA((2,)),
         ]),
         out_shape=[
-            jax.ShapeDtypeStruct((PIX_ROWS, num_tiles * NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, PIX_ROWS, NPIX), jnp.float32),
         ],
         # aliases the pre-filled out_init input (index counts the scalar
         # prefetch operands first: base=0, ranges=1, feat=2, out_init=3)
@@ -653,14 +750,15 @@ def _build_bwd(num_tiles, grid_x, width, height, b_pad, max_chunks,
         grid_spec=_grid_spec(3, 1, [
             pltpu.VMEM((2, FEAT_ROWS, K), jnp.float32),
             pltpu.VMEM((2, FEAT_ROWS, K), jnp.float32),
-            pltpu.VMEM((PIX_ROWS, NPIX), jnp.float32),
-            pltpu.VMEM((PIX_ROWS, NPIX), jnp.float32),
+            pltpu.VMEM((2, PIX_ROWS, NPIX), jnp.float32),
+            pltpu.VMEM((2, PIX_ROWS, NPIX), jnp.float32),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ]),
-        out_shape=[jax.ShapeDtypeStruct((FEAT_ROWS, b_pad), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((b_pad // K, FEAT_ROWS, K),
+                                        jnp.float32)],
         interpret=interpret,
     )
 
@@ -679,7 +777,8 @@ def _build_trans(num_tiles, grid_x, width, height, b_pad, max_chunks,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ]),
-        out_shape=[jax.ShapeDtypeStruct((FEAT_ROWS, b_pad), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((b_pad // K, FEAT_ROWS, K),
+                                        jnp.float32)],
         interpret=interpret,
     )
 
@@ -689,13 +788,19 @@ def _build_trans(num_tiles, grid_x, width, height, b_pad, max_chunks,
 # ---------------------------------------------------------------------------
 
 def _pack_features(means2d, conic, opacity, color, binning: BinningOut):
-    """Gather aligned instances into a feature-major (16, B_pad) array.
+    """Gather aligned instances into a chunk-major (B_pad/K, 16, K) array.
 
     ONE contiguous row gather (gather cost on TPU is per descriptor, not
     per byte, so nine element-wise gathers would be ~20x slower).  The
     aligned primitive-id layout comes from binning's alignment sort.
     Padding slots pull primitive 0's row but sit outside every tile's
     [start, end) range, so the kernels' in-range mask discards them.
+
+    Chunk-major 3D layout: chunk j is ONE contiguous (16, K) 8 KB block,
+    so the kernels' per-chunk DMA is a single dense HBM burst — slicing
+    a feature-major (16, B_pad) array instead costs 16 strided 512 B
+    segments per chunk, which runs at a few GB/s and was the measured
+    bottleneck of the whole rasterizer.
     """
     per_gaussian = jnp.concatenate(
         [means2d, conic, opacity[:, None], color,
@@ -703,16 +808,18 @@ def _pack_features(means2d, conic, opacity, color, binning: BinningOut):
         axis=1,
     )  # (P, 16)
     feat = per_gaussian[binning.gauss_id()]  # (B_pad, 16) row gather
-    return feat.T, binning.pad_mask.shape[0]
+    b_pad = binning.pad_mask.shape[0]
+    feat3 = feat.reshape(b_pad // K, K, FEAT_ROWS).transpose(0, 2, 1)
+    return feat3, b_pad
 
 
 def _packed_to_images(packed, grid_x, grid_y, width, height):
-    """(PIX_ROWS, T*256) -> color (H,W,3), t_fin (H,W), nc (H,W)."""
-    img = packed.reshape(PIX_ROWS, grid_y, grid_x, TILE_Y, TILE_X)
-    img = img.transpose(1, 3, 2, 4, 0).reshape(
+    """(T, PIX_ROWS, 256) -> color (H,W,3), t_fin (H,W)."""
+    img = packed.reshape(grid_y, grid_x, PIX_ROWS, TILE_Y, TILE_X)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(
         grid_y * TILE_Y, grid_x * TILE_X, PIX_ROWS)
     img = img[:height, :width]
-    return img[:, :, 0:3], img[:, :, 3], img[:, :, 4]
+    return img[:, :, 0:3], img[:, :, 3]
 
 
 # ---------------------------------------------------------------------------
@@ -739,7 +846,7 @@ def _core_fwd(means2d, conic, opacity, color, binning, base, width, height,
     # XLA cannot constant-fold it into a giant literal (at 1080p this is a
     # 67 MB array; folding it stalls the remote AOT compile).
     is_t_row = (jax.lax.broadcasted_iota(
-        jnp.int32, (PIX_ROWS, num_tiles * NPIX), 0) == 3)
+        jnp.int32, (num_tiles, PIX_ROWS, NPIX), 1) == 3)
     one = (binning.num_rendered * 0 + 1).astype(jnp.float32)
     out_init = jnp.where(is_t_row, one, 0.0)
     base2 = jnp.concatenate([base, (binning.total_padded // K).reshape(1)])
@@ -766,7 +873,8 @@ def _core_bwd(width, height, num_rows, res, g_packed):
     seg_id = jnp.where(
         binning.pad_mask | (slot >= binning.total_padded),
         num_p, binning.gauss_aligned)
-    dsum = jax.ops.segment_sum(dfeat.T, seg_id,
+    dfeat_rows = dfeat.transpose(0, 2, 1).reshape(b_pad, FEAT_ROWS)
+    dsum = jax.ops.segment_sum(dfeat_rows, seg_id,
                                num_segments=num_p + 1)[:num_p]  # (P, 16)
 
     d_means2d = dsum[:, 0:2]
@@ -813,8 +921,8 @@ def tile_render(prep: PreprocessOut, binning: BinningOut, background,
         prep.means2d, prep.conic, prep.opacity, prep.color,
         binning, base, width, height, num_rows,
     )
-    color, t_fin, _nc = _packed_to_images(packed, grid_x, num_rows, width,
-                                          crop_h)
+    color, t_fin = _packed_to_images(packed, grid_x, num_rows, width,
+                                     crop_h)
     bg = jnp.asarray(background, jnp.float32)
     color = color + t_fin[:, :, None] * bg[None, None, :]
 
@@ -833,7 +941,8 @@ def tile_render(prep: PreprocessOut, binning: BinningOut, background,
         seg_id = jnp.where(
             binning.pad_mask | (slot >= binning.total_padded),
             num_p, binning.gauss_aligned)
-        asum = jax.ops.segment_sum(acc.T[:, 0:2], seg_id,
+        acc_rows = acc.transpose(0, 2, 1).reshape(b_pad, FEAT_ROWS)
+        asum = jax.ops.segment_sum(acc_rows[:, 0:2], seg_id,
                                    num_segments=num_p + 1)[:num_p]
         g_trans = asum[:, 0]
         g_touch = asum[:, 1].astype(jnp.int32)
