@@ -24,29 +24,47 @@ import jax.numpy as jnp
 class AdamState(NamedTuple):
     mu: object  # pytree like params
     nu: object  # pytree like params
-    step: jnp.ndarray  # () int32
+    step: object  # pytree of () int32, one per leaf (torch: per-param step)
 
 
 def init(params) -> AdamState:
-    zeros = jax.tree.map(jnp.zeros_like, params)
-    return AdamState(mu=zeros, nu=jax.tree.map(jnp.zeros_like, params),
-                     step=jnp.int32(0))
+    return AdamState(mu=jax.tree.map(jnp.zeros_like, params),
+                     nu=jax.tree.map(jnp.zeros_like, params),
+                     step=jax.tree.map(lambda _: jnp.int32(0), params))
 
 
 def update(params, grads, state: AdamState, lr_tree, b1=0.9, b2=0.999,
-           eps=1e-15):
+           eps=1e-15, skip_tree=None):
     """One Adam step.  lr_tree is a pytree of scalars matching params
-    (broadcasting per leaf)."""
-    step = state.step + 1
-    c1 = 1.0 - b1 ** step.astype(jnp.float32)
-    c2 = 1.0 - b2 ** step.astype(jnp.float32)
-    mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
-    nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, grads)
-    new_params = jax.tree.map(
-        lambda p, m, v, lr: p - lr * (m / c1) / (jnp.sqrt(v / c2) + eps),
-        params, mu, nu, lr_tree,
-    )
-    return new_params, AdamState(mu=mu, nu=nu, step=step)
+    (broadcasting per leaf).
+
+    skip_tree: optional pytree of () bools — True leaves are left fully
+    untouched (params, moments AND step count), the torch behavior for a
+    param whose .grad is None (e.g. the opacity tensor right after a
+    reset_opacity's replace_tensor_to_optimizer, gaussian_model.py:487-500).
+    """
+    if skip_tree is None:
+        skip_tree = jax.tree.map(lambda _: False, params)
+
+    def leaf(p, g, m, v, t, lr, skip):
+        t2 = t + jnp.int32(jnp.logical_not(skip))
+        tf = t2.astype(jnp.float32)
+        c1 = 1.0 - b1 ** tf
+        c2 = 1.0 - b2 ** tf
+        m2 = b1 * m + (1 - b1) * g
+        v2 = b2 * v + (1 - b2) * g * g
+        p2 = p - lr * (m2 / c1) / (jnp.sqrt(v2 / c2) + eps)
+        keep = jnp.asarray(skip)
+        return (jnp.where(keep, p, p2), jnp.where(keep, m, m2),
+                jnp.where(keep, v, v2), t2)
+
+    flat_p, treedef = jax.tree.flatten(params)
+    out = [leaf(p, g, m, v, t, lr, s) for p, g, m, v, t, lr, s in zip(
+        flat_p, jax.tree.leaves(grads), jax.tree.leaves(state.mu),
+        jax.tree.leaves(state.nu), jax.tree.leaves(state.step),
+        jax.tree.leaves(lr_tree), jax.tree.leaves(skip_tree))]
+    unflat = lambda i: jax.tree.unflatten(treedef, [o[i] for o in out])
+    return unflat(0), AdamState(mu=unflat(1), nu=unflat(2), step=unflat(3))
 
 
 def expon_lr(step, lr_init, lr_final, lr_delay_steps=0, lr_delay_mult=1.0,

@@ -37,7 +37,7 @@ def load_checkpoint(path):
     params = GaussianParams(*([0] * 6))
     skeleton = TrainState(
         pool=GaussianPool(params, 0, 0, 0, 0, 0, 0),
-        opt=AdamState(mu=params, nu=params, step=0),
+        opt=AdamState(mu=params, nu=params, step=params),
         key=0,
     )
     treedef = jax.tree.structure(skeleton)

@@ -252,10 +252,12 @@ def mercy_points(pool, opt, key, splat_counts, lambda_mercy=2.0,
     var = jnp.where(alive, (counts - mean) ** 2, 0.0).sum() / jnp.maximum(
         n - 1.0, 1.0
     )
-    threshold = jnp.maximum(mean + lambda_mercy * jnp.sqrt(var),
-                            float(mercy_minimum))
+    redundancy_threshold = mean + lambda_mercy * jnp.sqrt(var)
+    threshold = jnp.maximum(redundancy_threshold, float(mercy_minimum))
     mask = alive & (counts > threshold)
     opacity = pool.get_opacity()[:, 0]
+    opacity_threshold = jnp.float32(0.0)  # reference reports 0 for
+    # redundancy-only types (gaussian_model.py:551)
 
     if mercy_type == "redundancy_opacity":
         med = masked_median(opacity, mask)
@@ -263,16 +265,18 @@ def mercy_points(pool, opt, key, splat_counts, lambda_mercy=2.0,
     elif mercy_type == "redundancy_random":
         mask = mask & (jax.random.uniform(key, mask.shape) < 0.5)
     elif mercy_type == "opacity":
-        threshold = masked_quantile(opacity, alive, 0.045)
-        mask = alive & (opacity < threshold)
+        opacity_threshold = masked_quantile(opacity, alive, 0.045)
+        mask = alive & (opacity < opacity_threshold)
     elif mercy_type == "redundancy_opacity_opacity":
         med = masked_median(opacity, mask)
         mask = mask & (opacity < med)
-        threshold = jnp.minimum(masked_quantile(opacity, alive, 0.03), 0.05)
-        mask = mask | (alive & (opacity < threshold))
+        opacity_threshold = jnp.minimum(
+            masked_quantile(opacity, alive, 0.03), 0.05)
+        mask = mask | (alive & (opacity < opacity_threshold))
     else:
         raise ValueError(f"unknown mercy_type {mercy_type!r}")
 
     pool, opt, n_mercied = prune_points(pool, opt, mask)
     return pool, opt, {"n_points_mercied": n_mercied,
-                       "opacity_threshold": threshold}
+                       "redundancy_threshold": redundancy_threshold,
+                       "opacity_threshold": opacity_threshold}

@@ -85,6 +85,8 @@ def train_step(state: TrainState, cam: CameraParams, gt_image, background,
         vis = out.visibility
         nvis = jnp.maximum(vis.sum(), 1)
         loss = (1.0 - opt_cfg.lambda_dssim) * ll1 + opt_cfg.lambda_dssim * lssim
+        lalpha = jnp.float32(0.0)
+        lsh = jnp.float32(0.0)
         if opt_cfg.lambda_alpha_regul > 0:
             op = jax.nn.sigmoid(params.opacity[:, 0])
             lalpha = jnp.where(vis, jnp.abs(op), 0.0).sum() / nvis
@@ -94,12 +96,12 @@ def train_step(state: TrainState, cam: CameraParams, gt_image, background,
                 vis[:, None, None], jnp.abs(params.features_rest), 0.0
             ).sum() / (nvis * 45)
             loss = loss + opt_cfg.lambda_sh_sparsity * lsh
-        return loss, (out, ll1, lssim)
+        return loss, (out, ll1, lssim, lalpha, lsh)
 
     screen_offset = jnp.zeros((c, 2), jnp.float32)
-    (loss, (out, ll1, lssim)), (grads, g_screen) = jax.value_and_grad(
-        loss_fn, argnums=(0, 1), has_aux=True
-    )(pool.params, screen_offset)
+    (loss, (out, ll1, lssim, lalpha, lsh)), (grads, g_screen) = (
+        jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+        (pool.params, screen_offset))
 
     # densification statistics (train.py:133-135): viewspace grads are
     # accumulated in NDC units — g_pixel * (0.5 W, 0.5 H)
@@ -118,35 +120,78 @@ def train_step(state: TrainState, cam: CameraParams, gt_image, background,
     if skip_update:
         new_params, new_opt = pool.params, opt
     else:
-        xyz_lr = adam.expon_lr(
-            iteration.astype(jnp.float32),
-            opt_cfg.position_lr_init * spatial_lr_scale,
-            opt_cfg.position_lr_final * spatial_lr_scale,
-            lr_delay_mult=opt_cfg.position_lr_delay_mult,
-            max_steps=opt_cfg.position_lr_max_steps,
-        )
-        lr_tree = make_lr_tree(grads, opt_cfg, xyz_lr)
+        lr_tree = make_lr_tree(
+            grads, opt_cfg,
+            _xyz_lr(iteration, opt_cfg, spatial_lr_scale))
         new_params, new_opt = adam.update(pool.params, grads, opt, lr_tree)
 
     pool = pool._replace(params=new_params)
     metrics = {
         "loss": loss, "l1": ll1, "ssim_loss": lssim,
+        "alpha_regul": lalpha, "sh_sparsity_loss": lsh,
         "num_rendered": out.num_rendered,
         "num_alive": pool.num_alive,
     }
-    return TrainState(pool, new_opt, key), metrics
+    state = TrainState(pool, new_opt, key)
+    if skip_update:
+        # surgery iteration: the pending grads go back to the host so the
+        # reference ordering backward -> densify -> step can be replayed
+        # (train.py:116-155 with --store_grads)
+        return state, metrics, grads
+    return state, metrics
 
 
-@functools.partial(jax.jit, static_argnames=("opt_cfg", "use_size_threshold"))
-def densify_step(state: TrainState, extent, *, opt_cfg: OptimizationParams,
-                 use_size_threshold: bool):
+def _xyz_lr(iteration, opt_cfg: OptimizationParams, spatial_lr_scale):
+    return adam.expon_lr(
+        iteration.astype(jnp.float32),
+        opt_cfg.position_lr_init * spatial_lr_scale,
+        opt_cfg.position_lr_final * spatial_lr_scale,
+        lr_delay_mult=opt_cfg.position_lr_delay_mult,
+        max_steps=opt_cfg.position_lr_max_steps,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("opt_cfg", "spatial_lr_scale", "skip_opacity"))
+def apply_update_step(state: TrainState, grads, iteration, *,
+                      opt_cfg: OptimizationParams, spatial_lr_scale: float,
+                      skip_opacity: bool = False):
+    """The deferred optimizer.step() of a store_grads surgery iteration
+    (reference train.py:153-155 applied AFTER densify/prune rearranged
+    the pending .grad tensors).  skip_opacity replays the reference's
+    reset_opacity: replace_tensor_to_optimizer leaves the new opacity
+    tensor with .grad None, so torch skips exactly that param."""
+    pool, opt, key = state
+    lr_tree = make_lr_tree(
+        grads, opt_cfg, _xyz_lr(iteration, opt_cfg, spatial_lr_scale))
+    skip_tree = None
+    if skip_opacity:
+        skip_tree = jax.tree.map(lambda _: False, grads)._replace(
+            opacity=True)
+    new_params, new_opt = adam.update(pool.params, grads, opt, lr_tree,
+                                      skip_tree=skip_tree)
+    return TrainState(pool._replace(params=new_params), new_opt, key)
+
+
+@functools.partial(jax.jit, static_argnames=("opt_cfg", "use_size_threshold",
+                                              "with_grads"))
+def densify_step(state: TrainState, extent, grads=None, *,
+                 opt_cfg: OptimizationParams, use_size_threshold: bool,
+                 with_grads: bool = False):
+    """densify_and_prune; with_grads threads the pending gradient tree
+    through the surgery (the reference's store_grads=True path,
+    gaussian_model.py:502-598: new rows zero, pruned rows dropped)."""
     pool, opt, key = state
     key, sub = jax.random.split(key)
     max_screen = 20.0 if use_size_threshold else 0.0
-    pool, opt, _, stats = densify.densify_and_prune(
+    pool, opt, grads, stats = densify.densify_and_prune(
         pool, opt, sub, opt_cfg.densify_grad_threshold, 0.005, extent,
         max_screen, opt_cfg.percent_dense,
+        grads_tree=grads if with_grads else None,
     )
+    if with_grads:
+        return TrainState(pool, opt, key), stats, grads
     return TrainState(pool, opt, key), stats
 
 
@@ -189,8 +234,12 @@ class Trainer:
                  cameras, *, spatial_lr_scale: float, background,
                  backend: str = "pallas", max_sh_degree: int = 3,
                  seed: int = 0, initial_budget: int = 1 << 17,
-                 cull_sh_iterations=(), scene=None):
+                 cull_sh_iterations=(), scene=None,
+                 white_background: bool = False):
         self.opt_cfg = opt_cfg
+        # drives the extra opacity reset at densify_from_iter
+        # (reference train.py:141-142)
+        self.white_background = white_background
         self.cameras = list(cameras)
         self.spatial_lr_scale = float(spatial_lr_scale)
         self.background = jnp.asarray(background, jnp.float32)
@@ -225,7 +274,7 @@ class Trainer:
         self.budgets[cam_uid] = b
         return b
 
-    def maybe_grow_pool(self):
+    def maybe_grow_pool(self, pending=None):
         n = int(self.state.pool.num_alive)
         cap = self.state.pool.capacity
         if n > 0.9 * cap:
@@ -235,58 +284,106 @@ class Trainer:
                 lambda m: grow_leaf(m, cap, new_cap), self.state.opt
             )
             self.state = TrainState(pool, opt, self.state.key)
+            if pending is not None:
+                pending = jax.tree.map(
+                    lambda g: grow_leaf(g, cap, new_cap), pending)
+        return pending
 
     def step(self, iteration: int):
         """One training iteration; returns the metrics dict (device
-        arrays — only sync what you read)."""
+        arrays — only sync what you read).
+
+        Ordering matches the reference exactly (train.py:116-155):
+        backward -> densify/prune/mercy surgery -> optimizer.step.  On a
+        surgery iteration torch's step() only updates params that kept a
+        .grad through the surgery: all of them with --store_grads on a
+        densify iteration, none on a mercy/dead-prune iteration (those
+        rebuild every param without store_grads), everything except
+        opacity on a reset-only iteration.  The final iteration never
+        steps (train.py:153).
+        """
         cfg = self.opt_cfg
         self.iteration = iteration
         if iteration % 1000 == 0:
             self.state = self.state._replace(
                 pool=one_up_sh_degree(self.state.pool, self.max_sh_degree)
             )
+        will_densify = (iteration < cfg.densify_until_iter
+                        and iteration > cfg.densify_from_iter
+                        and iteration % cfg.densification_interval == 0)
+        will_reset = (iteration < cfg.densify_until_iter
+                      and (iteration % cfg.opacity_reset_interval == 0
+                           or (self.white_background
+                               and iteration == cfg.densify_from_iter)))
+        will_prune_dead = (iteration >= cfg.densify_until_iter
+                           and cfg.prune_dead_points
+                           and iteration % cfg.densification_interval == 0)
+        will_mercy = (cfg.mercy_points and self.scene is not None
+                      and iteration % (cfg.mercy_interval
+                                       * cfg.densification_interval) == 0
+                      and iteration <= self.fine_tune_start
+                      and (iteration >= cfg.densify_until_iter
+                           or iteration % cfg.opacity_reset_interval != 0))
+        surgery = will_densify or will_reset or will_prune_dead or will_mercy
+        final = iteration >= cfg.iterations
+
         camera = self.next_camera()
         cp = camera.params()
-        budget = self._budget_for(camera.uid)
-        st, metrics = train_step(
-            self.state, cp, jnp.asarray(camera.image), self.background,
-            jnp.int32(iteration), width=camera.width, height=camera.height,
-            budget=budget, backend=self.backend, opt_cfg=cfg,
-            spatial_lr_scale=self.spatial_lr_scale,
-        )
-        needed = int(metrics["num_rendered"])
-        if needed > budget:
+        background = self.background
+        if cfg.random_background:  # reference train.py:98
+            background = jnp.asarray(
+                self.rng.uniform(0.0, 1.0, 3), jnp.float32)
+        while True:
+            budget = self._budget_for(camera.uid)
+            out = train_step(
+                self.state, cp, jnp.asarray(camera.image), background,
+                jnp.int32(iteration), width=camera.width,
+                height=camera.height,
+                budget=budget, backend=self.backend, opt_cfg=cfg,
+                spatial_lr_scale=self.spatial_lr_scale,
+                skip_update=surgery or final,
+            )
+            st, metrics = out[0], out[1]
+            grads = out[2] if len(out) == 3 else None
+            needed = int(metrics["num_rendered"])
+            if needed <= budget:
+                break
             # overflow: grow the bucket and redo this step exactly
+            # (same camera, same background)
             self._budget_for(camera.uid, needed)
-            return self.step(iteration)
         self.state = st
 
+        # pending gradients survive the surgery only where the reference
+        # keeps .grad alive through it
+        pending = grads
+
         # densification cadence (train.py:131-150)
-        if iteration < cfg.densify_until_iter:
-            if (iteration > cfg.densify_from_iter
-                    and iteration % cfg.densification_interval == 0):
-                self.maybe_grow_pool()
+        if will_densify:
+            pending = self.maybe_grow_pool(pending)
+            if cfg.store_grads and pending is not None:
+                self.state, dstats, pending = densify_step(
+                    self.state, jnp.float32(self.extent), pending,
+                    opt_cfg=cfg,
+                    use_size_threshold=iteration > cfg.opacity_reset_interval,
+                    with_grads=True,
+                )
+            else:
                 self.state, dstats = densify_step(
                     self.state, jnp.float32(self.extent), opt_cfg=cfg,
                     use_size_threshold=iteration > cfg.opacity_reset_interval,
                 )
-                self.stats.update(
-                    {k: int(v) for k, v in dstats.items()})
-            if iteration % cfg.opacity_reset_interval == 0:
-                self.state = opacity_reset_step(self.state)
-        elif (cfg.prune_dead_points
-              and iteration % cfg.densification_interval == 0):
+                pending = None  # params rebuilt without store_grads
+            self.stats.update({k: int(v) for k, v in dstats.items()})
+        if will_reset:
+            self.state = opacity_reset_step(self.state)
+        if will_prune_dead:
             self.state, n = prune_dead_step(
                 self.state, jnp.float32(self.extent))
             self.stats["n_points_pruned"] = int(n)
+            pending = None  # prune() is called without store_grads
 
         # mercy culling cadence (train.py:146-150)
-        if (cfg.mercy_points and self.scene is not None
-                and iteration % (cfg.mercy_interval
-                                 * cfg.densification_interval) == 0
-                and iteration <= self.fine_tune_start
-                and (iteration >= cfg.densify_until_iter
-                     or iteration % cfg.opacity_reset_interval != 0)):
+        if will_mercy:
             self.scene.pool = self.state.pool
             red, _ = self.scene.calculate_redundancy_metric(
                 pixel_scale=cfg.box_size)
@@ -294,6 +391,18 @@ class Trainer:
                 self.state, red, lambda_mercy=cfg.lambda_mercy,
                 mercy_minimum=cfg.mercy_minimum, mercy_type=cfg.mercy_type)
             self.stats["n_points_mercied"] = int(mstats["n_points_mercied"])
+            self.stats["redundancy_threshold"] = float(
+                mstats["redundancy_threshold"])
+            self.stats["opacity_threshold"] = float(
+                mstats["opacity_threshold"])
+            pending = None  # mercy_points prunes without store_grads
+
+        # deferred optimizer.step() (train.py:153-155)
+        if pending is not None and not final:
+            self.state = apply_update_step(
+                self.state, pending, jnp.int32(iteration), opt_cfg=cfg,
+                spatial_lr_scale=self.spatial_lr_scale,
+                skip_opacity=will_reset)
 
         # adaptive SH-band culling (train.py:168-170)
         if iteration in self.cull_sh_iterations:

@@ -19,7 +19,7 @@ def test_checkpoint_roundtrip(tmp_path):
         rng.normal(0, 1, (30, 3)).astype(np.float32),
         rng.uniform(0, 1, (30, 3)).astype(np.float32), capacity=64)
     opt = adam.init(pool.params)
-    opt = opt._replace(step=jnp.int32(17),
+    opt = opt._replace(step=jax.tree.map(lambda _: jnp.int32(17), opt.step),
                        mu=jax.tree.map(lambda x: x + 0.5, opt.mu))
     state = TrainState(pool, opt, jax.random.PRNGKey(3))
     path = os.path.join(str(tmp_path), "ck.npz")
@@ -29,5 +29,5 @@ def test_checkpoint_roundtrip(tmp_path):
     assert it == 1234 and slr == 2.5
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    assert int(restored.opt.step) == 17
+    assert int(jax.tree.leaves(restored.opt.step)[0]) == 17
     assert restored.pool.capacity == 64

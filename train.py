@@ -92,6 +92,7 @@ def main():
         spatial_lr_scale=scene.cameras_extent, background=background,
         backend=backend, max_sh_degree=dataset.sh_degree,
         seed=args.seed, cull_sh_iterations=args.cull_SH, scene=scene,
+        white_background=dataset.white_background,
     )
     trainer.extent = scene.cameras_extent
     first_iter = 0
@@ -120,36 +121,80 @@ def main():
         bar = None
 
     def eval_report(iteration):
+        """Test/train eval + scene histograms (reference training_report,
+        train.py:246-278)."""
+        train_cams = scene.get_train_cameras()
+        sample = ([train_cams[i % len(train_cams)]
+                   for i in range(5, 30, 5)] if train_cams else [])
         for name, cams in [("test", scene.get_test_cameras()),
-                           ("train", scene.get_train_cameras()[:5])]:
+                           ("train", sample)]:
             if not cams:
                 continue
             pool = trainer.state.pool
             ps, l1s = [], []
-            for cam in cams:
+            for idx, cam in enumerate(cams):
                 out = render(
                     pool.params.xyz, pool.features(), pool.params.scaling,
                     pool.params.rotation, pool.params.opacity[:, 0],
                     pool.degrees, cam.params(), background,
                     width=cam.width, height=cam.height,
                     instance_budget=trainer._budget_for(cam.uid),
-                    alive_mask=pool.alive, backend=pipe.backend)
-                gt = jnp.asarray(cam.image)
-                img = jnp.clip(out.color, 0, 1)
-                ps.append(float(psnr(img, gt)))
-                l1s.append(float(jnp.abs(img - gt).mean()))
+                    alive_mask=pool.alive, backend=backend)
+                gt = np.clip(np.asarray(cam.image), 0, 1)
+                img = np.clip(np.asarray(out.color), 0, 1)
+                if tb and idx < 5:
+                    hwc_to_chw = (2, 0, 1)
+                    tb.add_image(f"{name}_view_{cam.image_name}/render",
+                                 img.transpose(hwc_to_chw), iteration)
+                    if iteration == args.test_iterations[0]:
+                        tb.add_image(
+                            f"{name}_view_{cam.image_name}/ground_truth",
+                            gt.transpose(hwc_to_chw), iteration)
+                ps.append(float(psnr(jnp.asarray(img), jnp.asarray(gt))))
+                l1s.append(float(np.abs(img - gt).mean()))
             print(f"\n[ITER {iteration}] Evaluating {name}: "
                   f"L1 {np.mean(l1s):.5f} PSNR {np.mean(ps):.2f}")
             if tb:
-                tb.add_scalar(f"{name}/loss_viewpoint_psnr",
-                              np.mean(ps), iteration)
-                tb.add_scalar(f"{name}/loss_viewpoint_l1",
+                tb.add_scalar(f"{name}/loss_viewpoint - l1_loss",
                               np.mean(l1s), iteration)
+                tb.add_scalar(f"{name}/loss_viewpoint - psnr",
+                              np.mean(ps), iteration)
+        if tb:
+            pool = trainer.state.pool
+            alive = np.asarray(pool.alive)
+            n = max(int(alive.sum()), 1)
+            tb.add_histogram("scene/opacity_histogram",
+                             np.asarray(pool.get_opacity())[alive],
+                             iteration)
+            tb.add_scalar("total_points", n, iteration)
+            degrees = np.asarray(pool.degrees)[alive]
+            for d in range(4):
+                tb.add_scalar(f"total_points/points_{d}_bands_%",
+                              float((degrees == d).sum()) / n, iteration)
+
+    # windowed loss/time aggregation (reference train.py:199-237)
+    loss_agg = dict.fromkeys(
+        ["l1_loss", "ssim_loss", "alpha_regul", "sh_sparsity_loss",
+         "total_loss", "iter_time"], 0.0)
+    dens_stats = dict.fromkeys(
+        ["n_points_cloned", "n_points_split", "n_points_mercied",
+         "n_points_pruned"], 0)
+    dens_stats["redundancy_threshold"] = 0.0
+    dens_stats["opacity_threshold"] = 0.0
+
+    import time as _time
 
     ema = 0.0
     for iteration in range(first_iter + 1, opt.iterations + 1):
         gui.poll(iteration)
+        t0 = _time.perf_counter()
         metrics = trainer.step(iteration)
+        elapsed = _time.perf_counter() - t0
+        for k in ("n_points_cloned", "n_points_split", "n_points_mercied",
+                  "n_points_pruned", "redundancy_threshold",
+                  "opacity_threshold"):
+            if k in trainer.stats:
+                dens_stats[k] = trainer.stats.pop(k)
         if iteration % 10 == 0:
             loss = float(metrics["loss"])
             ema = 0.4 * loss + 0.6 * ema
@@ -157,13 +202,44 @@ def main():
                 bar.set_postfix({"Loss": f"{ema:.7f}",
                                  "N": int(metrics["num_alive"])})
                 bar.update(10)
-        if tb and iteration % 100 == 0:
-            tb.add_scalar("train_loss_patches/total_loss",
-                          float(metrics["loss"]), iteration)
-            tb.add_scalar("total_points", int(metrics["num_alive"]),
-                          iteration)
-            for k, v in trainer.stats.items():
-                tb.add_scalar(f"densification/{k}", v, iteration)
+        if iteration % opt.densification_interval == 0:
+            w = opt.densification_interval
+            if tb:
+                for key, tag in [("l1_loss", "l1_loss"),
+                                 ("ssim_loss", "ssim_loss"),
+                                 ("alpha_regul", "alpha_regul"),
+                                 ("sh_sparsity_loss", "sh_sparsity_loss"),
+                                 ("total_loss", "total_loss")]:
+                    tb.add_scalar(f"train_loss_patches/{tag}",
+                                  loss_agg[key] / w, iteration)
+                tb.add_scalar("iter_time", loss_agg["iter_time"] / w,
+                              iteration)
+                n = max(int(metrics["num_alive"]), 1)
+                for key in ("n_points_cloned", "n_points_split"):
+                    tb.add_scalar(f"total_points/points_{key[9:]}",
+                                  dens_stats[key], iteration)
+                for key in ("n_points_mercied", "n_points_pruned"):
+                    tb.add_scalar(f"total_points/points_{key[9:]}",
+                                  dens_stats[key], iteration)
+                    tb.add_scalar(f"total_points/points_{key[9:]}_%",
+                                  dens_stats[key] / n, iteration)
+                tb.add_scalar("total_points/redundancy_threshold",
+                              dens_stats["redundancy_threshold"], iteration)
+                tb.add_scalar("total_points/opacity_threshold",
+                              dens_stats["opacity_threshold"], iteration)
+            for key in ("n_points_cloned", "n_points_split",
+                        "n_points_mercied", "n_points_pruned"):
+                dens_stats[key] = 0
+            for key in loss_agg:
+                loss_agg[key] = 0.0
+        else:
+            loss_agg["l1_loss"] += float(metrics["l1"])
+            loss_agg["ssim_loss"] += float(metrics["ssim_loss"])
+            loss_agg["alpha_regul"] += float(metrics["alpha_regul"])
+            loss_agg["sh_sparsity_loss"] += float(
+                metrics["sh_sparsity_loss"])
+            loss_agg["total_loss"] += float(metrics["loss"])
+            loss_agg["iter_time"] += elapsed
         if iteration in args.test_iterations:
             eval_report(iteration)
         if iteration in args.checkpoint_iterations:
