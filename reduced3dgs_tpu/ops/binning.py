@@ -52,6 +52,12 @@ class BinningOut(NamedTuple):
     tile_ranges: jnp.ndarray  # (num_tiles, 2) int32 [start, end), K-aligned
     num_rendered: jnp.ndarray  # () int32 true instance count (may exceed B)
     total_padded: jnp.ndarray  # () int32 end of the written aligned region
+    src_pos: jnp.ndarray  # (B_pad,) int32 expand-order position of each
+    # aligned slot (padding/invalid -> sentinel B): expand order is grouped
+    # by primitive, so sorting per-instance values by src_pos turns the
+    # per-Gaussian reduction into cumsum + boundary differences
+    seg_bounds: jnp.ndarray  # (P+1,) int32 expand-order segment bounds per
+    # primitive, clipped to the written instance count
 
     def gauss_id(self):
         """(B_pad,) primitive id per aligned slot (padding -> id 0)."""
@@ -137,9 +143,14 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
     tile = jnp.where(in_range, tile, num_tiles).astype(jnp.int32)
     dkey = jnp.where(in_range, rows[:, 4], _MAXI)
 
+    # src: expand-order position of every instance (sentinel = budget for
+    # slots past num_rendered); rides the sorts so the backward can undo
+    # the (tile, depth) ordering with a sort instead of a scatter
+    src = jnp.where(in_range, slot, budget)
+
     # sort #1: instance order within the budget
-    tile_s, dkey_s, gauss_s = jax.lax.sort(
-        (tile, dkey, gauss_c), num_keys=2, is_stable=True
+    tile_s, dkey_s, gauss_s, src_s = jax.lax.sort(
+        (tile, dkey, gauss_c, src), num_keys=2, is_stable=True
     )
 
     # one searchsorted over T+1 boundaries: for integer tiles,
@@ -190,11 +201,19 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
     all_pad = jnp.concatenate(
         [(tile_s >= num_tiles).astype(jnp.int32),
          jnp.ones((n_extra,), jnp.int32)])
+    all_src = jnp.concatenate(
+        [src_s, jnp.full((n_extra,), budget, jnp.int32)])
 
-    tile_a, _, gauss_a, pad_a = jax.lax.sort(
-        (all_tiles, all_keys, all_gauss, all_pad), num_keys=2,
+    tile_a, _, gauss_a, pad_a, src_a = jax.lax.sort(
+        (all_tiles, all_keys, all_gauss, all_pad, all_src), num_keys=2,
         is_stable=True,
     )
+
+    # per-primitive expand-order segment bounds, clipped to the written
+    # region: primitive p's instances occupy [bounds[p], bounds[p+1])
+    nv = jnp.minimum(num_rendered, budget)
+    seg_bounds = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.minimum(offsets, nv)])
 
     return BinningOut(
         gauss_aligned=gauss_a,
@@ -203,4 +222,6 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
         tile_ranges=jnp.stack([new_start, new_start + tcounts], axis=-1),
         num_rendered=num_rendered,
         total_padded=total_padded,
+        src_pos=src_a,
+        seg_bounds=seg_bounds,
     )

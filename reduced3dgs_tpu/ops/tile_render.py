@@ -807,8 +807,8 @@ def _pack_features(means2d, conic, opacity, color, binning: BinningOut):
          jnp.zeros((means2d.shape[0], FEAT_ROWS - 9), means2d.dtype)],
         axis=1,
     )  # (P, 16)
-    feat = per_gaussian[binning.gauss_id()]  # (B_pad, 16) row gather
     b_pad = binning.pad_mask.shape[0]
+    feat = per_gaussian[binning.gauss_id()]  # (B_pad, 16) row gather
     feat3 = feat.reshape(b_pad // K, K, FEAT_ROWS).transpose(0, 2, 1)
     return feat3, b_pad
 
@@ -856,6 +856,42 @@ def _core_fwd(means2d, conic, opacity, color, binning, base, width, height,
     return packed, res
 
 
+def _segment_reduce_by_src(cols, binning: BinningOut):
+    """Per-primitive sums of per-instance columns, WITHOUT a scatter.
+
+    An XLA scatter-add over ~1M unsorted rows costs ~20 ms on v5e — it
+    was the single largest item of the whole train step.  Instead, sort
+    the columns by the instance's expand-order position (binning carries
+    it through its sorts): expand order is grouped by primitive, so each
+    per-primitive sum is a difference of the column's prefix sums at the
+    primitive's (monotone-gathered) segment bounds.  Sort + cumsums +
+    boundary gathers measure ~1.5 ms at the same size.
+
+    Garbage rows (unwritten tail past total_padded, alignment slack,
+    out-of-budget instances) carry the sentinel src and sort past every
+    valid row, so they never enter a prefix that gets read.
+
+    Precision: a global f32 prefix sum loses ~eps * |running sum| per
+    boundary difference; with mixed-sign gradient entries the running
+    sum random-walks, keeping the relative error of per-primitive sums
+    around 1e-5 — on the order of the nondeterministic float-atomics
+    noise the reference's CUDA backward exhibits (backward.cu:561-592).
+    """
+    srt = jax.lax.sort((binning.src_pos,) + tuple(cols), num_keys=1,
+                       is_stable=False)
+    zb = binning.seg_bounds
+    # one batched boundary pick: stacking the prefix columns and doing a
+    # single ROW gather at the bounds costs ~one column's worth of the
+    # per-column scalar gathers it replaces (9 scalar boundary gathers
+    # measured 0.87 ms each on v5e)
+    ps = jnp.stack(
+        [jnp.concatenate([jnp.zeros((1,), c.dtype), jnp.cumsum(c)])
+         for c in srt[1:]], axis=1)  # (B_pad+1, n)
+    v = ps[zb]  # (P+1, n) row gather at monotone bounds
+    d = v[1:] - v[:-1]
+    return [d[:, i] for i in range(d.shape[1])]
+
+
 def _core_bwd(width, height, num_rows, res, g_packed):
     feat, binning, base, packed, num_p = res
     grid_x, _ = tile_grid(width, height)
@@ -866,21 +902,14 @@ def _core_bwd(width, height, num_rows, res, g_packed):
                      _interpret())
     (dfeat,) = bwd(base, binning.tile_ranges.T, feat, g_packed, packed)
 
-    # ONE row segment-sum per Gaussian.  Alignment-slack slots carry
-    # written zeros; the unwritten tail past total_padded is dropped via
-    # the sentinel segment id.
-    slot = jnp.arange(b_pad, dtype=jnp.int32)
-    seg_id = jnp.where(
-        binning.pad_mask | (slot >= binning.total_padded),
-        num_p, binning.gauss_aligned)
-    dfeat_rows = dfeat.transpose(0, 2, 1).reshape(b_pad, FEAT_ROWS)
-    dsum = jax.ops.segment_sum(dfeat_rows, seg_id,
-                               num_segments=num_p + 1)[:num_p]  # (P, 16)
-
-    d_means2d = dsum[:, 0:2]
-    d_conic = dsum[:, 2:5]
-    d_opacity = dsum[:, 5]
-    d_color = dsum[:, 6:9]
+    # per-Gaussian reduction via sort-by-expand-position (only the 9
+    # gradient-carrying rows ride the sort)
+    cols = tuple(dfeat[:, f, :].reshape(b_pad) for f in range(9))
+    sums = _segment_reduce_by_src(cols, binning)
+    d_means2d = jnp.stack(sums[0:2], axis=1)
+    d_conic = jnp.stack(sums[2:5], axis=1)
+    d_opacity = sums[5]
+    d_color = jnp.stack(sums[6:9], axis=1)
     zero_bin = jax.tree.map(
         lambda x: np.zeros(x.shape, jax.dtypes.float0), binning)
     zero_base = np.zeros(base.shape, jax.dtypes.float0)
@@ -936,13 +965,20 @@ def tile_render(prep: PreprocessOut, binning: BinningOut, background,
         base2 = jnp.concatenate(
             [base, (binning.total_padded // K).reshape(1)])
         (acc,) = trans(base2, binning.tile_ranges.T, feat)
+        # scatter-based reduction here, not _segment_reduce_by_src: the
+        # transmittance accumulators are all-positive, so a global-prefix
+        # difference loses ~eps * (running sum) — too coarse for the
+        # culling statistics.  This path runs only during SH culling, so
+        # the scatter cost is off the training hot loop.
         num_p = prep.means2d.shape[0]
         slot = jnp.arange(b_pad, dtype=jnp.int32)
         seg_id = jnp.where(
             binning.pad_mask | (slot >= binning.total_padded),
             num_p, binning.gauss_aligned)
-        acc_rows = acc.transpose(0, 2, 1).reshape(b_pad, FEAT_ROWS)
-        asum = jax.ops.segment_sum(acc_rows[:, 0:2], seg_id,
+        acc_rows = jnp.stack(
+            [acc[:, 0, :].reshape(b_pad), acc[:, 1, :].reshape(b_pad)],
+            axis=1)
+        asum = jax.ops.segment_sum(acc_rows, seg_id,
                                    num_segments=num_p + 1)[:num_p]
         g_trans = asum[:, 0]
         g_touch = asum[:, 1].astype(jnp.int32)

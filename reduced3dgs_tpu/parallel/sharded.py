@@ -127,6 +127,7 @@ def sharded_train_step(state: TrainState, cams: CameraParams, gts,
                 prep, b, background, width, height,
                 tile_rows=(r0, rows_per),
             )  # (rows_per*16, W, 3)
+            num_rendered = b.num_rendered  # this strip's true demand
 
             # local L1 over valid strip pixels
             y0 = r0 * TILE_Y
@@ -161,17 +162,21 @@ def sharded_train_step(state: TrainState, cams: CameraParams, gts,
             # function (differentiating through psum with check_vma=False
             # uses the legacy psum-transpose and inflates replicated-input
             # cotangents by the axis size).
-            return l1_term + gated, (vis, prep.radii, l1_sum)
+            return l1_term + gated, (vis, prep.radii, l1_sum, num_rendered)
 
-        (loss_local, (vis, radii, l1_sum)), (g_params, g_so) = (
+        (loss_local, (vis, radii, l1_sum, num_rendered)), (g_params, g_so) = (
             jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 params, so))
         loss = jax.lax.psum(loss_local, ("data", "tile"))
         g_params = jax.lax.psum(g_params, ("data", "tile"))
         g_so = jax.lax.psum(g_so, "tile")  # per-camera screen grads
         l1_mean = jax.lax.psum(l1_sum, ("data", "tile")) / (ndata * hw3)
+        # overflow contract: the largest per-strip instance demand across
+        # the whole mesh — the host grows `budget` past it and redoes the
+        # step, mirroring the single-chip path (train/trainer.py)
+        nr_max = jax.lax.pmax(num_rendered, ("data", "tile"))
         return (loss[None], g_params, g_so[None], vis[None], radii[None],
-                l1_mean[None])
+                l1_mean[None], nr_max[None])
 
     # width/height are static; only the 5 array fields cross shard_map
     cam_leaves = (cams.viewmatrix, cams.projmatrix, cams.campos,
@@ -182,11 +187,12 @@ def sharded_train_step(state: TrainState, cams: CameraParams, gts,
     out = jax.shard_map(
         local, mesh=mesh,
         in_specs=(repl, repl, repl, data_first, data_first, data_first),
-        out_specs=(repl, repl, data_first, data_first, data_first, repl),
+        out_specs=(repl, repl, data_first, data_first, data_first, repl,
+                   repl),
         check_vma=False,
     )(pool.params, pool.degrees, pool.alive,
       cam_leaves, gts, screen_offset)
-    loss, grads, g_so, vis_dc, radii_dc, l1_mean = out
+    loss, grads, g_so, vis_dc, radii_dc, l1_mean, nr_max = out
     loss = loss[0]
 
     # --- densification statistics, summed over the camera batch ----------
@@ -212,5 +218,26 @@ def sharded_train_step(state: TrainState, cams: CameraParams, gts,
     lr_tree = make_lr_tree(grads, opt_cfg, xyz_lr)
     new_params, new_opt = adam.update(pool.params, grads, opt, lr_tree)
     pool = pool._replace(params=new_params)
-    metrics = {"loss": loss, "l1": l1_mean[0], "num_alive": pool.num_alive}
+    metrics = {"loss": loss, "l1": l1_mean[0], "num_alive": pool.num_alive,
+               "num_rendered_max": nr_max[0]}
     return TrainState(pool, new_opt, key), metrics
+
+
+def run_sharded_step_with_regrow(state, cams, gts, background, iteration, *,
+                                 mesh, width, height, budget, opt_cfg,
+                                 spatial_lr_scale, growth=2):
+    """Host wrapper replicating the single-chip overflow contract
+    (train/trainer.py): if any strip's true instance demand exceeded the
+    static budget, double the budget (recompile at the next power) and
+    redo the step on the pre-step state.  Returns
+    (state, metrics, budget)."""
+    while True:
+        new_state, metrics = sharded_train_step(
+            state, cams, gts, background, iteration, mesh=mesh,
+            width=width, height=height, budget=budget, opt_cfg=opt_cfg,
+            spatial_lr_scale=spatial_lr_scale)
+        needed = int(metrics["num_rendered_max"])
+        if needed <= budget:
+            return new_state, metrics, budget
+        while budget < needed:
+            budget *= growth

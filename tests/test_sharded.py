@@ -85,3 +85,50 @@ def test_sharded_data_parallel_batch(cams):
     assert float(jnp.abs(st.pool.params.xyz - state.pool.params.xyz).max()) > 0
     # denom counts both cameras where visible in both
     assert float(st.pool.denom.max()) <= 2.0
+
+
+def test_sharded_overflow_contract(cams):
+    """num_rendered_max reports the true max strip demand; the regrow
+    wrapper redoes the step with a grown budget and then matches a
+    directly-big-budget run (single-chip contract, trainer.py)."""
+    from reduced3dgs_tpu.parallel.sharded import run_sharded_step_with_regrow
+
+    cfg = OptimizationParams()
+    state = make_state()
+    cam = cams[0]
+    gt = jnp.asarray(cam.image)[None]
+    mesh = make_mesh(1, 2)
+    cp = stack_camera_params([cam])
+
+    # tiny budget: truncated but finite, true demand reported
+    st_small, m_small = sharded_train_step(
+        state, cp, gt, jnp.zeros(3), jnp.int32(1), mesh=mesh,
+        width=W, height=H, budget=128, opt_cfg=cfg, spatial_lr_scale=3.0)
+    needed = int(m_small["num_rendered_max"])
+    assert needed > 128
+    assert np.isfinite(float(m_small["loss"]))
+
+    st_grown, m_grown, budget = run_sharded_step_with_regrow(
+        state, cp, gt, jnp.zeros(3), jnp.int32(1), mesh=mesh,
+        width=W, height=H, budget=128, opt_cfg=cfg, spatial_lr_scale=3.0)
+    assert budget >= needed
+    st_big, m_big = sharded_train_step(
+        state, cp, gt, jnp.zeros(3), jnp.int32(1), mesh=mesh,
+        width=W, height=H, budget=budget, opt_cfg=cfg,
+        spatial_lr_scale=3.0)
+    np.testing.assert_allclose(float(m_grown["loss"]), float(m_big["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(st_grown.pool.params.xyz),
+                                  np.asarray(st_big.pool.params.xyz))
+
+
+def test_scaling_bench_runs():
+    """The scaling harness runs on the virtual mesh and reports sane
+    efficiency numbers."""
+    from reduced3dgs_tpu.parallel.launch import scaling_bench
+
+    res = scaling_bench(widths=(64,), n_prims=256, budget=4096, iters=2,
+                        mesh_shapes=[(1, 1), (2, 2)])
+    assert len(res) == 2
+    for (_, pps) in res:
+        assert pps > 0
