@@ -1,0 +1,243 @@
+#!/usr/bin/env python
+"""End-to-end compression evidence (VERDICT round 1, item 6).
+
+Builds a procedural multi-view Blender-format scene rich enough to
+exercise the full reduction pipeline (densify -> mercy pruning ->
+SH-band culling -> codebooks -> quantised/half PLYs), trains it with a
+scaled-down `full_final` configuration (full_eval.py:33-44 flags), and
+reports test-set PSNR + on-disk model sizes for the baseline vs the
+quantised and quantised+half models into RESULTS.md.
+
+Run:  python experiments/compression_eval.py [--root /tmp/r3dgs_eval]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def make_scene(root, n_train=24, n_test=4, size=256, seed=0):
+    """Procedural ground-truth Gaussian world rendered to a dataset.
+
+    Mix of structures so each reduction mechanism has something to find:
+    a flat-colored ground slab (SH bands cullable), dense overlapping
+    clutter (mercy-prunable redundancy), and shiny view-dependent blobs
+    (real SH content worth keeping).
+    """
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from reduced3dgs_tpu.cameras import Camera
+    from reduced3dgs_tpu.renderer import render
+
+    rng = np.random.default_rng(seed)
+    parts = []
+
+    def add(xyz, dc, rest_scale, smin, smax, op_lo, op_hi):
+        n = xyz.shape[0]
+        feats = np.zeros((n, 16, 3), np.float32)
+        feats[:, 0] = dc
+        if rest_scale > 0:
+            feats[:, 1:] = rng.normal(0, rest_scale, (n, 15, 3))
+        scales = np.log(rng.uniform(smin, smax, (n, 3))).astype(np.float32)
+        rots = rng.normal(0, 1, (n, 4)).astype(np.float32)
+        opac = rng.uniform(op_lo, op_hi, n).astype(np.float32)
+        parts.append((xyz.astype(np.float32), feats, scales, rots, opac))
+
+    # flat ground slab (diffuse)
+    g = rng.uniform(-1.4, 1.4, (1200, 2))
+    ground = np.stack([g[:, 0], np.full(1200, -0.6), g[:, 1]], axis=1)
+    add(ground, rng.uniform(0.3, 0.8, (1200, 3)) * np.array([0.9, 0.8, 0.5]),
+        0.0, 0.04, 0.12, 1.5, 3.0)
+    # dense clutter cluster (redundant)
+    add(rng.normal(0, 0.25, (1500, 3)) + np.array([0.4, 0.0, 0.2]),
+        rng.uniform(-0.5, 1.5, (1500, 3)), 0.08, 0.02, 0.08, 0.0, 2.5)
+    # shiny view-dependent blobs
+    add(rng.uniform(-1.0, 1.0, (800, 3)) * np.array([1.0, 0.5, 1.0]),
+        rng.uniform(-1.0, 2.0, (800, 3)), 0.35, 0.05, 0.15, 1.0, 3.0)
+
+    xyz = np.concatenate([p[0] for p in parts])
+    feats = np.concatenate([p[1] for p in parts])
+    scales = np.concatenate([p[2] for p in parts])
+    rots = np.concatenate([p[3] for p in parts])
+    opac = np.concatenate([p[4] for p in parts])
+    deg = np.full(xyz.shape[0], 3, np.int32)
+    fov_x = math.radians(60)
+
+    os.makedirs(os.path.join(root, "train"), exist_ok=True)
+    os.makedirs(os.path.join(root, "test"), exist_ok=True)
+
+    def dump(split, count, offset):
+        frames = []
+        for i in range(count):
+            a = offset + i * 2 * math.pi / max(count, 1)
+            r = 3.0 + 0.3 * math.sin(3 * a)
+            eye = np.array([math.cos(a) * r,
+                            0.5 + 0.5 * math.sin(2 * a + offset),
+                            math.sin(a) * r])
+            cam = Camera.look_at(eye=eye, target=(0, 0, 0), fov_x=fov_x,
+                                 width=size, height=size, uid=i)
+            out = render(
+                jnp.asarray(xyz), jnp.asarray(feats), jnp.asarray(scales),
+                jnp.asarray(rots), jnp.asarray(opac), jnp.asarray(deg),
+                cam.params(), jnp.zeros(3), width=size, height=size,
+                instance_budget=1 << 19, backend="pallas")
+            img = np.clip(np.asarray(out.color), 0, 1)
+            fname = f"{split}/r_{i}"
+            Image.fromarray((img * 255).astype(np.uint8)).save(
+                os.path.join(root, fname + ".png"))
+            w2c = np.eye(4)
+            w2c[:3, :3] = cam.R.T
+            w2c[:3, 3] = cam.T
+            c2w = np.linalg.inv(w2c)
+            c2w[:3, 1:3] *= -1
+            frames.append({"file_path": fname,
+                           "transform_matrix": c2w.tolist()})
+        with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
+            json.dump({"camera_angle_x": fov_x, "frames": frames}, f)
+
+    dump("train", n_train, 0.0)
+    dump("test", n_test, 0.26)
+
+    from reduced3dgs_tpu.data.dataset_readers import store_point_cloud_ply
+
+    pts = rng.uniform(-1.4, 1.4, (8000, 3))
+    cols = (rng.uniform(0, 1, (8000, 3)) * 255).astype(np.uint8)
+    store_point_cloud_ply(os.path.join(root, "points3d.ply"), pts, cols)
+
+
+ITER = 10_000
+
+
+def train(data, model):
+    """Scaled full_final config (reference full_eval.py:33-44 at 30k
+    iterations, here 10k with the schedule scaled to match)."""
+    args = [
+        sys.executable, os.path.join(REPO, "train.py"),
+        "-s", data, "-m", model, "--eval",
+        "--iterations", str(ITER),
+        "--densify_from_iter", "500",
+        "--densify_until_iter", "5000",
+        "--densification_interval", "100",
+        "--opacity_reset_interval", "3000",
+        "--position_lr_max_steps", str(ITER),
+        "--test_iterations", "3000", str(ITER),
+        "--save_iterations", str(ITER),
+        "--store_grads",
+        "--lambda_sh_sparsity", "0.1",
+        "--cull_SH", "6000",
+        "--mercy_points",
+        "--prune_dead_points",
+        "--lambda_alpha_regul", "0.001",
+        "--std_threshold", "0.04",
+        "--cdist_threshold", "6",
+        "--mercy_type", "redundancy_opacity_opacity",
+    ]
+    r = subprocess.run(args, cwd=REPO, text=True,
+                       capture_output=True, timeout=7200)
+    sys.stdout.write(r.stdout[-4000:])
+    sys.stderr.write(r.stderr[-4000:])
+    r.check_returncode()
+
+
+def evaluate(data, model):
+    import jax.numpy as jnp
+
+    from reduced3dgs_tpu.config import ModelParams
+    from reduced3dgs_tpu.ops.losses import psnr, ssim
+    from reduced3dgs_tpu.renderer import render
+    from reduced3dgs_tpu.scene import Scene
+
+    ds = ModelParams(source_path=data, model_path=model, eval=True)
+    scene = Scene(ds, load_iteration=ITER, shuffle=False)
+    results = {}
+    for tag, q, h in [("baseline", False, False),
+                      ("quantised", True, False),
+                      ("quantised_half", True, True)]:
+        scene.load_model(quantised=q, half_float=h)
+        pool = scene.pool
+        ps, ss = [], []
+        for cam in scene.get_test_cameras():
+            out = render(
+                pool.params.xyz, pool.features(), pool.params.scaling,
+                pool.params.rotation, pool.params.opacity[:, 0],
+                pool.degrees, cam.params(), jnp.zeros(3),
+                width=cam.width, height=cam.height,
+                instance_budget=1 << 20, alive_mask=pool.alive,
+                backend="pallas")
+            img = jnp.clip(out.color, 0, 1)
+            gt = jnp.asarray(cam.image)
+            ps.append(float(psnr(img, gt)))
+            ss.append(float(ssim(img, gt)))
+        name = ("point_cloud" + ("_quantised" if q else "")
+                + ("_half" if h else "") + ".ply")
+        path = os.path.join(model, "point_cloud", f"iteration_{ITER}", name)
+        results[tag] = {
+            "psnr": float(np.mean(ps)),
+            "ssim": float(np.mean(ss)),
+            "bytes": os.path.getsize(path),
+            "n_primitives": int(np.asarray(pool.alive).sum()),
+        }
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/r3dgs_compression_eval")
+    ap.add_argument("--skip_train", action="store_true")
+    args = ap.parse_args()
+    data = os.path.join(args.root, "scene")
+    model = os.path.join(args.root, "model")
+    if not args.skip_train:
+        print("== building procedural scene", flush=True)
+        make_scene(data)
+        print("== training (full_final, scaled)", flush=True)
+        train(data, model)
+    print("== evaluating", flush=True)
+    res = evaluate(data, model)
+    # legacy-format baseline: the 59-float uncompressed 3DGS layout the
+    # reference's memory model compares against (generate_results.py:98-101)
+    n = res["baseline"]["n_primitives"]
+    legacy_bytes = n * 59 * 4
+    lines = ["# RESULTS — synthetic compression evaluation", "",
+             f"Procedural Blender-format scene, 24 train / 4 test views at "
+             f"256x256, `full_final` configuration scaled to {ITER} "
+             f"iterations (experiments/compression_eval.py).", "",
+             "| model | PSNR (dB) | SSIM | size (MB) | x vs legacy 59f | "
+             "x vs baseline PLY |",
+             "|---|---|---|---|---|---|"]
+    for tag, r in res.items():
+        lines.append(
+            f"| {tag} | {r['psnr']:.2f} | {r['ssim']:.4f} | "
+            f"{r['bytes'] / 1e6:.2f} | "
+            f"{legacy_bytes / r['bytes']:.1f}x | "
+            f"{res['baseline']['bytes'] / r['bytes']:.1f}x |")
+    lines += ["",
+              f"Primitives after pruning/mercy: {n:,} "
+              f"(legacy 59-float baseline for that count: "
+              f"{legacy_bytes / 1e6:.2f} MB).",
+              "",
+              "PSNR deltas vs the framework's own uncompressed baseline "
+              "quantify the cost of codebook quantisation and half-float "
+              "storage; the size ratios are the reference's headline "
+              "metric (README.md:23-24 claims x27 vs the original 3DGS "
+              "layout on real scenes)."]
+    out = "\n".join(lines) + "\n"
+    with open(os.path.join(REPO, "RESULTS.md"), "w") as f:
+        f.write(out)
+    print(out)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from reduced3dgs_tpu.ops import knn
 
@@ -40,3 +41,36 @@ def test_window_knn_recall():
         len(set(a) & set(b)) / 8 for a, b in zip(np.asarray(idx_w), idx_t)
     ])
     assert recall > 0.85, recall
+
+
+@pytest.mark.slow
+def test_window_recall_at_scale():
+    """Windowed-mode recall at a scale well past EXACT_LIMIT, against a
+    scipy KD-tree oracle (VERDICT round 1: the windowed mode was only
+    validated at small P while production uses it at 1M+).  The
+    redundancy heuristic consumes the neighbour lists statistically, so
+    high-but-imperfect recall is the contract — pin it."""
+    from scipy.spatial import cKDTree
+
+    rng = np.random.default_rng(11)
+    # clustered + uniform mix, like real scenes
+    pts = np.concatenate([
+        rng.normal(0, 0.2, (60_000, 3)),
+        rng.uniform(-2, 2, (60_000, 3)),
+    ]).astype(np.float32)
+    k = 16
+    _, idx = knn.knn(jnp.asarray(pts), k)
+    idx = np.asarray(idx)
+    tree = cKDTree(pts)
+    _, true_idx = tree.query(pts[::37], k=k + 1)  # sampled queries
+    true_idx = true_idx[:, 1:]  # drop self
+    got = idx[::37]
+    recall = np.mean([
+        len(set(a).intersection(b)) / k for a, b in zip(got, true_idx)
+    ])
+    assert recall > 0.85, f"windowed-KNN recall degraded: {recall:.3f}"
+    # and the mean-3NN distance (used for init scales) stays accurate
+    md_full = float(np.asarray(knn.mean_knn_dist2(jnp.asarray(pts))).mean())
+    d3_full = tree.query(pts, k=4)[0][:, 1:]
+    md_full_true = float((d3_full ** 2).mean(axis=1).mean())
+    assert abs(md_full - md_full_true) / md_full_true < 0.05

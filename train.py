@@ -70,6 +70,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    if args.detect_anomaly:
+        # torch.autograd.set_detect_anomaly analogue (train.py:306):
+        # every jitted step checks outputs and raises at the op that
+        # produced the first NaN
+        jax.config.update("jax_debug_nans", True)
+
     from reduced3dgs_tpu.network_gui import NetworkGUI
     from reduced3dgs_tpu.ops.kmeans import produce_clusters
     from reduced3dgs_tpu.ops.losses import psnr
@@ -197,6 +203,22 @@ def main():
                 dens_stats[k] = trainer.stats.pop(k)
         if iteration % 10 == 0:
             loss = float(metrics["loss"])
+            if not np.isfinite(loss):
+                # post-mortem snapshot, the TPU analogue of the
+                # rasterizer's snapshot_fw.dump on kernel error
+                # (diff_gaussian_rasterization/__init__.py:91-97): dump
+                # everything needed to replay the failing step offline
+                snap = os.path.join(args.model_path, "snapshot_fw.npz")
+                pool = trainer.state.pool
+                np.savez(
+                    snap, iteration=iteration,
+                    **{f"param_{k}": np.asarray(v) for k, v in
+                       pool.params._asdict().items()},
+                    alive=np.asarray(pool.alive),
+                    degrees=np.asarray(pool.degrees))
+                raise FloatingPointError(
+                    f"non-finite loss at iteration {iteration}; state "
+                    f"snapshot written to {snap}")
             ema = 0.4 * loss + 0.6 * ema
             if bar is not None:
                 bar.set_postfix({"Loss": f"{ema:.7f}",
