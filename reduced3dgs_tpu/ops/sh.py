@@ -105,8 +105,9 @@ def eval_sh_color(sh, dirs, degrees):
     Returns:
       (P, 3) color before the 0.5 shift (reference forward.cu:105-151).
     """
-    basis = sh_basis(dirs)  # (P, 16)
-    masked = basis * degree_mask(degrees, sh.shape[-2])  # (P, C)
+    c = sh.shape[-2]  # may be < 16 for a packed ragged band (variable_sh)
+    basis = sh_basis(dirs)[..., :c]  # (P, C)
+    masked = basis * degree_mask(degrees, c)  # (P, C)
     # Elementwise multiply + reduce (VPU, full f32) rather than a 16-wide
     # batched matmul that would hit the MXU at bf16 default precision.
     return (masked[..., None] * sh).sum(axis=-2)

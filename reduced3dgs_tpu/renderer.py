@@ -72,11 +72,16 @@ def render(
     screen_offset=None,
     strip_r0=None,
     strip_rows: int | None = None,
+    color_precomp=None,
 ) -> RenderOut:
+    """color_precomp: optional (P, 3) precomputed per-primitive colors —
+    the variable-SH ragged inference path (models/variable_sh.py) and
+    the reference's convert_SHs_python dual path both enter here; when
+    given, `features` may be a minimal dummy (it is not read)."""
     prep = prep_ops.preprocess(
         xyz, scaling_raw, rotation_raw, opacity_raw, features, degrees, cam,
         alive_mask=alive_mask, scale_modifier=scale_modifier,
-        screen_offset=screen_offset,
+        screen_offset=screen_offset, color_precomp=color_precomp,
     )
     tile_rows = None if strip_rows is None else (strip_r0, strip_rows)
     b = binning_ops.bin_gaussians(prep, width, height, instance_budget,

@@ -62,19 +62,40 @@ def main():
     background = jnp.asarray(
         [1.0, 1.0, 1.0] if dataset.white_background else [0.0, 0.0, 0.0])
 
+    variable_sh = bool(getattr(args, "variable_sh_bands", False))
     fps_results = {}
     for model in args.models:
         conf = MODELS_CONFIG[model]
         pool = scene.load_model(quantised=conf["quantised"],
                                 half_float=conf["half_float"])
 
+        ragged = None
+        if variable_sh:
+            # ragged inference storage: pool reordered by SH band, one
+            # packed static block per band (models/variable_sh.py — the
+            # TPU equivalent of the reference's variable-SH inference
+            # path, forward.cu:246-350)
+            from reduced3dgs_tpu.models.variable_sh import (
+                build_ragged, eval_colors,
+            )
+
+            pool, ragged = build_ragged(pool)
+
         def render_view(cam, budget=1 << 19):
+            color_precomp = None
+            feats = pool.features()
+            if ragged is not None:
+                color_precomp = eval_colors(
+                    ragged, pool.params.xyz, cam.params().campos)
+                feats = jnp.zeros(
+                    (pool.params.xyz.shape[0], 1, 3), jnp.float32)
             out = render(
-                pool.params.xyz, pool.features(), pool.params.scaling,
+                pool.params.xyz, feats, pool.params.scaling,
                 pool.params.rotation, pool.params.opacity[:, 0],
                 pool.degrees, cam.params(), background,
                 width=cam.width, height=cam.height, instance_budget=budget,
-                alive_mask=pool.alive, backend=pipe.backend)
+                alive_mask=pool.alive, backend=pipe.backend,
+                color_precomp=color_precomp)
             if int(out.num_rendered) > budget:
                 return render_view(cam, budget * 2)
             return out

@@ -104,3 +104,51 @@ def test_per_degree_colors():
         sh_ops.eval_sh_color_per_degree(jnp.array(sh), jnp.array(dirs), degrees2)
     )
     assert np.all(out2[:, 2:] == 0.0)
+
+
+def test_ragged_variable_sh_matches_dense():
+    """models/variable_sh.py: degree-grouped packed SH evaluation must
+    reproduce the dense masked path exactly (the reference's ragged
+    inference buffer is bit-identical to its dense training path for
+    the same degrees, forward.cu:246-350)."""
+    import jax
+    import jax.numpy as jnp
+
+    from reduced3dgs_tpu.cameras import Camera
+    from reduced3dgs_tpu.models import gaussians as G
+    from reduced3dgs_tpu.models.variable_sh import build_ragged, eval_colors
+    from reduced3dgs_tpu.renderer import render
+
+    rng = np.random.default_rng(5)
+    n = 120
+    pool = G.create_from_pcd(
+        rng.uniform(-1, 1, (n, 3)).astype(np.float32),
+        rng.uniform(0, 1, (n, 3)).astype(np.float32), capacity=160)
+    feats_rest = rng.normal(0, 0.3, (160, 15, 3)).astype(np.float32)
+    pool = pool._replace(
+        params=pool.params._replace(features_rest=jnp.asarray(feats_rest)),
+        degrees=jnp.asarray(rng.integers(0, 4, 160).astype(np.int32)),
+    )
+
+    cam = Camera.look_at(eye=(0, 0, -3), target=(0, 0, 0),
+                         width=64, height=48)
+    bg = jnp.zeros(3)
+
+    def full(pool, color_precomp=None, feats=None):
+        f = pool.features() if feats is None else feats
+        return render(
+            pool.params.xyz, f, pool.params.scaling,
+            pool.params.rotation, pool.params.opacity[:, 0], pool.degrees,
+            cam.params(), bg, width=64, height=48, instance_budget=4096,
+            alive_mask=pool.alive, color_precomp=color_precomp)
+
+    dense = full(pool)
+    pool_r, ragged = build_ragged(pool)
+    colors = eval_colors(ragged, pool_r.params.xyz, cam.params().campos)
+    dummy = jnp.zeros((pool_r.params.xyz.shape[0], 1, 3), jnp.float32)
+    rag = full(pool_r, color_precomp=colors, feats=dummy)
+    np.testing.assert_allclose(np.asarray(rag.color),
+                               np.asarray(dense.color), atol=2e-5)
+    # memory contract: packed blocks store only (d+1)^2 coefficients
+    for d, blk in enumerate(ragged.blocks):
+        assert blk.shape[1] == (d + 1) ** 2
