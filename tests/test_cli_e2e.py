@@ -134,3 +134,16 @@ def test_cli_pipeline(tmp_path):
     base = os.path.join(model, "point_cloud", "iteration_120",
                         "point_cloud.ply")
     assert os.path.getsize(q) < os.path.getsize(base)
+
+    # results aggregation (generate_results.py): memory model + metrics
+    # merge into the summary table (reference generate_results.py:43-138)
+    run_cli("generate_results.py", "-m", model, "--iteration", "120")
+    import csv
+    with open(os.path.join(os.path.dirname(model), "summary.csv")) as f:
+        rows = list(csv.DictReader(f))
+    variants = {r["variant"] for r in rows}
+    assert {"baseline", "quantised_half"} <= variants
+    for r in rows:
+        assert float(r["disk_MB"]) > 0
+        if r["variant"] == "quantised_half":
+            assert float(r["compression_x"]) > 4.0, r
