@@ -69,3 +69,52 @@ def ssim(img1, img2, window_size: int = 11):
         (mu1_sq + mu2_sq + _C1) * (sigma1_sq + sigma2_sq + _C2)
     )
     return ssim_map.mean()
+
+
+def ssim_band_sum(img1, img2, band_start, band_rows: int,
+                  window_size: int = 11):
+    """Sum of the same-padded SSIM map over image rows
+    [band_start, band_start + band_rows) intersected with [0, H).
+
+    The band decomposition of `ssim`: a valid conv over a slab of the
+    zero-padded image equals the same-padded conv's map rows for that
+    band, so tile-parallel devices can each compute one band and psum —
+    instead of serializing the full 11x11 conv on one member
+    (parallel/sharded.py).  band_start may be traced; band_rows is
+    static.  sum(ssim_band_sum over a disjoint row cover) / (H*W*C)
+    == ssim(img1, img2) exactly.
+    """
+    h, w, c = img1.shape
+    pad = window_size // 2
+    win = jnp.asarray(_gaussian_window(window_size, 1.5))
+    kernel = jnp.tile(win[:, :, None, None], (1, 1, 1, c))
+    # pad so the slab slice never clamps (jax clamps dynamic_slice starts)
+    extra = band_rows
+    p1 = jnp.pad(img1, ((pad, pad + extra), (0, 0), (0, 0)))[None]
+    p2 = jnp.pad(img2, ((pad, pad + extra), (0, 0), (0, 0)))[None]
+    slab_rows = band_rows + 2 * pad
+
+    def slab(x):
+        return jax.lax.dynamic_slice_in_dim(x, band_start, slab_rows, 1)
+
+    s1, s2 = slab(p1), slab(p2)
+    dn = jax.lax.conv_dimension_numbers(
+        s1.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+
+    def f(x):
+        return jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), [(0, 0), (pad, pad)],
+            dimension_numbers=dn, feature_group_count=c,
+        )
+
+    mu1, mu2 = f(s1), f(s2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = f(s1 * s1) - mu1_sq
+    sigma2_sq = f(s2 * s2) - mu2_sq
+    sigma12 = f(s1 * s2) - mu1_mu2
+    ssim_map = ((2 * mu1_mu2 + _C1) * (2 * sigma12 + _C2)) / (
+        (mu1_sq + mu2_sq + _C1) * (sigma1_sq + sigma2_sq + _C2)
+    )  # (1, band_rows, W, C)
+    row = band_start + jnp.arange(band_rows)
+    ok = (row < h).astype(ssim_map.dtype)[None, :, None, None]
+    return (ssim_map * ok).sum()

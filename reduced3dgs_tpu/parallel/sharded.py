@@ -19,9 +19,10 @@ section 2.3:
     reduce-scatter, so per-strip/per-shard partials combine exactly once).
 
 Loss assembly avoids double counting: L1 decomposes per pixel and is
-summed from each strip; the SSIM term and the visible-set regularizers
-are computed by tile-member 0 of each data group only, so every term
-enters the psum exactly once.
+summed from each strip; the 11x11 SSIM conv is band-parallel over the
+tile axis (each member computes its row band of the ssim map on the
+gathered image); the constant and the visible-set regularizers enter
+once via tile-member 0 — so every term enters the psum exactly once.
 """
 
 from __future__ import annotations
@@ -38,7 +39,7 @@ from reduced3dgs_tpu.config import OptimizationParams
 from reduced3dgs_tpu.models.gaussians import GaussianPool
 from reduced3dgs_tpu.ops import binning as binning_ops
 from reduced3dgs_tpu.ops import preprocess as prep_ops
-from reduced3dgs_tpu.ops.losses import ssim
+from reduced3dgs_tpu.ops.losses import ssim_band_sum
 from reduced3dgs_tpu.ops.preprocess import CameraParams, tile_grid
 from reduced3dgs_tpu.ops.tile_render import TILE_Y, tile_render
 from reduced3dgs_tpu.train import adam
@@ -140,23 +141,29 @@ def sharded_train_step(state: TrainState, cams: CameraParams, gts,
             l1_sum = jnp.where(row_ok, jnp.abs(strip - gt_strip), 0.0).sum()
             l1_term = (1.0 - lam) * l1_sum / (ndata * hw3)
 
-            # gathered full image; SSIM + regularizers once per data group
+            # gathered full image; the 11x11 SSIM conv is band-parallel
+            # over the tile axis (each member computes its row band of
+            # the ssim map, ops/losses.py:ssim_band_sum; the constant 1
+            # and the regularizers enter once via member 0)
             img = jax.lax.all_gather(strip, "tile", axis=0,
                                      tiled=True)[:height]
-            lssim = 1.0 - ssim(img, gt)
-            gated = lam * lssim
+            band = -(-height // ntile)
+            s_sum = ssim_band_sum(img, gt, t_idx * band, band)
+            hw3f = float(height * width * 3)
+            gated = lam * (-s_sum / hw3f)
             vis = prep.radii > 0
             nvis = jnp.maximum(vis.sum(), 1)
+            reg = jnp.float32(lam)  # the "1 -" of (1 - SSIM), once
             if opt_cfg.lambda_alpha_regul > 0:
                 op = jax.nn.sigmoid(params.opacity[:, 0])
-                gated += opt_cfg.lambda_alpha_regul * (
+                reg += opt_cfg.lambda_alpha_regul * (
                     jnp.where(vis, jnp.abs(op), 0.0).sum() / nvis)
             if opt_cfg.lambda_sh_sparsity > 0:
-                gated += opt_cfg.lambda_sh_sparsity * (
+                reg += opt_cfg.lambda_sh_sparsity * (
                     jnp.where(vis[:, None, None],
                               jnp.abs(params.features_rest), 0.0).sum()
                     / (nvis * 45))
-            gated = jnp.where(t_idx == 0, gated / ndata, 0.0)
+            gated = (gated + jnp.where(t_idx == 0, reg, 0.0)) / ndata
             # local contribution only — the cross-device psum happens on
             # the VALUE and on the GRADS outside the differentiated
             # function (differentiating through psum with check_vma=False

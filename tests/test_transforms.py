@@ -172,3 +172,22 @@ def test_world_to_view_inverse():
     c = cam.camera_center
     v = tf.transform_points_3x3(jnp.array(c[None, :]), jnp.array(cam.world_view_transform))
     np.testing.assert_allclose(np.asarray(v), 0.0, atol=1e-4)
+
+
+def test_ssim_band_decomposition():
+    """ssim_band_sum over a disjoint row cover reproduces ssim exactly
+    (the tile-parallel SSIM of parallel/sharded.py)."""
+    import jax.numpy as jnp
+
+    from reduced3dgs_tpu.ops.losses import ssim, ssim_band_sum
+
+    rng = np.random.default_rng(3)
+    h, w = 37, 29  # deliberately not multiples of the band size
+    a = jnp.asarray(rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
+    full = float(ssim(a, b))
+    for ntile in (1, 2, 3, 4):
+        band = -(-h // ntile)
+        total = sum(float(ssim_band_sum(a, b, jnp.int32(i * band), band))
+                    for i in range(ntile))
+        np.testing.assert_allclose(total / (h * w * 3), full, rtol=2e-6)
