@@ -52,12 +52,11 @@ class BinningOut(NamedTuple):
     tile_ranges: jnp.ndarray  # (num_tiles, 2) int32 [start, end), K-aligned
     num_rendered: jnp.ndarray  # () int32 true instance count (may exceed B)
     total_padded: jnp.ndarray  # () int32 end of the written aligned region
-    src_pos: jnp.ndarray  # (B_pad,) int32 expand-order position of each
-    # aligned slot (padding/invalid -> sentinel B): expand order is grouped
-    # by primitive, so sorting per-instance values by src_pos turns the
-    # per-Gaussian reduction into cumsum + boundary differences
-    seg_bounds: jnp.ndarray  # (P+1,) int32 expand-order segment bounds per
-    # primitive, clipped to the written instance count
+    seg_bounds: jnp.ndarray  # (P+1,) int32 per-primitive segment bounds,
+    # clipped to the written instance count: expand order is grouped by
+    # primitive in id order, so sorting per-instance values by primitive
+    # id (pad -> sentinel P) turns the per-Gaussian reduction into
+    # cumsum + boundary differences at these bounds
 
     def gauss_id(self):
         """(B_pad,) primitive id per aligned slot (padding -> id 0)."""
@@ -143,14 +142,9 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
     tile = jnp.where(in_range, tile, num_tiles).astype(jnp.int32)
     dkey = jnp.where(in_range, rows[:, 4], _MAXI)
 
-    # src: expand-order position of every instance (sentinel = budget for
-    # slots past num_rendered); rides the sorts so the backward can undo
-    # the (tile, depth) ordering with a sort instead of a scatter
-    src = jnp.where(in_range, slot, budget)
-
     # sort #1: instance order within the budget
-    tile_s, dkey_s, gauss_s, src_s = jax.lax.sort(
-        (tile, dkey, gauss_c, src), num_keys=2, is_stable=True
+    tile_s, dkey_s, gauss_s = jax.lax.sort(
+        (tile, dkey, gauss_c), num_keys=2, is_stable=True
     )
 
     # one searchsorted over T+1 boundaries: for integer tiles,
@@ -194,20 +188,26 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
         jnp.arange(num_tiles + 1, dtype=jnp.int32), mode="drop")
     pad_tile = jax.lax.associative_scan(jnp.maximum, pmarkers)
 
-    all_tiles = jnp.concatenate([tile_s, pad_tile])
-    all_keys = jnp.concatenate([dkey_s, jnp.full((n_extra,), _MAXI)])
+    # ONE fused key: 2*tile + is_pad.  The real part is already
+    # depth-sorted within each tile and the synthetic part is already in
+    # tile order, so a stable sort on (tile, is_pad) alone reproduces the
+    # (tile, depth, pad-last) order — no need to carry the depth key or a
+    # separate pad column (2 sort columns instead of 5; the B_pad-sized
+    # sorts are the largest single cost of the frame, PROFILE.md).
+    # Truncated instances (tile == num_tiles sentinel) are flagged pad
+    # so pad_mask identifies every invalid slot downstream.
+    fused = jnp.concatenate([
+        tile_s * 2 + (tile_s >= num_tiles),
+        pad_tile * 2 + 1,
+    ])
     all_gauss = jnp.concatenate(
         [gauss_s, jnp.zeros((n_extra,), jnp.int32)])
-    all_pad = jnp.concatenate(
-        [(tile_s >= num_tiles).astype(jnp.int32),
-         jnp.ones((n_extra,), jnp.int32)])
-    all_src = jnp.concatenate(
-        [src_s, jnp.full((n_extra,), budget, jnp.int32)])
 
-    tile_a, _, gauss_a, pad_a, src_a = jax.lax.sort(
-        (all_tiles, all_keys, all_gauss, all_pad, all_src), num_keys=2,
-        is_stable=True,
+    fused_a, gauss_a = jax.lax.sort(
+        (fused, all_gauss), num_keys=1, is_stable=True,
     )
+    tile_a = fused_a >> 1
+    pad_a = fused_a & 1
 
     # per-primitive expand-order segment bounds, clipped to the written
     # region: primitive p's instances occupy [bounds[p], bounds[p+1])
@@ -222,6 +222,5 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
         tile_ranges=jnp.stack([new_start, new_start + tcounts], axis=-1),
         num_rendered=num_rendered,
         total_padded=total_padded,
-        src_pos=src_a,
         seg_bounds=seg_bounds,
     )

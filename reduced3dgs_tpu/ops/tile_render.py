@@ -861,14 +861,15 @@ def _segment_reduce_by_src(cols, binning: BinningOut):
 
     An XLA scatter-add over ~1M unsorted rows costs ~20 ms on v5e — it
     was the single largest item of the whole train step.  Instead, sort
-    the columns by the instance's expand-order position (binning carries
-    it through its sorts): expand order is grouped by primitive, so each
-    per-primitive sum is a difference of the column's prefix sums at the
-    primitive's (monotone-gathered) segment bounds.  Sort + cumsums +
-    boundary gathers measure ~1.5 ms at the same size.
+    the columns by primitive id (pad slots -> sentinel P): instances
+    grouped by primitive land in id order, which is exactly expand
+    order's grouping, so each per-primitive sum is a difference of the
+    column's prefix sums at binning's (monotone-gathered) segment
+    bounds.  Sort + cumsums + boundary gathers measure ~1.5 ms at the
+    same size.
 
-    Garbage rows (unwritten tail past total_padded, alignment slack,
-    out-of-budget instances) carry the sentinel src and sort past every
+    Garbage rows (alignment slack, truncated out-of-budget instances)
+    are pad_mask slots: they carry the sentinel key and sort past every
     valid row, so they never enter a prefix that gets read.
 
     Precision: a global f32 prefix sum loses ~eps * |running sum| per
@@ -877,8 +878,9 @@ def _segment_reduce_by_src(cols, binning: BinningOut):
     around 1e-5 — on the order of the nondeterministic float-atomics
     noise the reference's CUDA backward exhibits (backward.cu:561-592).
     """
-    srt = jax.lax.sort((binning.src_pos,) + tuple(cols), num_keys=1,
-                       is_stable=False)
+    num_p = binning.seg_bounds.shape[0] - 1
+    key = jnp.where(binning.pad_mask, num_p, binning.gauss_aligned)
+    srt = jax.lax.sort((key,) + tuple(cols), num_keys=1, is_stable=False)
     zb = binning.seg_bounds
     # one batched boundary pick: stacking the prefix columns and doing a
     # single ROW gather at the bounds costs ~one column's worth of the
