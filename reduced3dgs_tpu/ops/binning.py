@@ -5,28 +5,33 @@ The TPU-native replacement for the CUB pipeline in the reference
 sort on (tileID | depth-bits) -> identifyTileRanges).  Instead of a
 data-dependent instance count we use a *static instance budget* B.
 
-TPU data-movement discipline (measured on v5e): `lax.sort` and
-vectorized `searchsorted` run at ~0.15 ms per million elements, while
-gathers/scatters cost ~5-10 ms per million *descriptors* regardless of
-width.  The pipeline is therefore built almost entirely from sorts,
-searchsorted and vector math:
+TPU data-movement discipline (measured on v5e, PROFILE.md): `lax.sort`
+costs ~0.5 ms per payload column per million rows, gathers/scatters cost
+~5-10 ms per million *descriptors* regardless of width, and any array
+with a minor dimension below 128 lanes wastes up to 42x of its HBM
+bandwidth to layout padding.  The pipeline is therefore built from
+P-sized ops, dense (B,) vectors, one MXU matmul and ONE B-sized sort:
 
-  * offsets = cumsum of per-primitive tile coverage; instance ->
-    primitive via searchsorted (vectorized inverse of the per-thread
-    rect loop in duplicateWithKeys),
-  * ONE row gather moves per-primitive data (rect, start, depth key) to
-    instances — contiguous 32-byte rows, the only gather in binning,
-  * sort #1 on (tile, depth-bits) over B — bitcasting the positive f32
-    depth to int32 preserves order exactly like the CUDA radix sort over
-    raw bits (rasterizer_impl.cu:110-112) — then per-tile ranges via
-    searchsorted,
+  * primitives are renumbered in DEPTH ORDER first (one P-sized sort,
+    P << B): within a tile, depth order then equals primitive-id order,
+    so the per-instance depth key vanishes — the only B-sized sort runs
+    on two integer columns (tile, gauss) with no ties (each (tile,
+    primitive) pair is unique), replacing the reference's 64-bit
+    (tile | depth-bits) radix key (rasterizer_impl.cu:110-112),
+  * per-tile instance counts come from ONE (rows,P)x(P,gx) rect-
+    indicator matmul on the MXU (0/1 operands are exact in bf16, the
+    f32 accumulator is exact below 2^24) — no sorted array is needed to
+    find tile ranges, killing the pre-alignment sort and the
+    searchsorted range scan entirely,
+  * instance slot -> owning primitive ("expand") is a marker scatter
+    (P descriptors) + prefix scan per broadcast value — a monotone
+    cummax for (gauss, start), a telescoping delta-cumsum for the
+    packed rect word — all on dense (B,) int32 vectors; searchsorted
+    here would be ~11 rounds of B-sized gathers (~90 ms/M measured),
   * the *K-aligned relocation* (every tile's range starts at a multiple
-    of K so Pallas chunk DMAs are lane-aligned and never cross tiles) is
-    realized by sort #2 over B_pad: synthetic padding instances carry
-    (tile, MAX_KEY) keys, so the stable sort drops every real instance
-    into its aligned slot and the padding into each tile's alignment
-    slack — no scatter, no second gather; the aligned per-slot primitive
-    id comes out as the sort payload.
+    of K so Pallas chunk DMAs are lane-aligned and never cross tiles)
+    rides the same single sort: synthetic padding instances carry
+    (tile, MAX) keys, so they fall into each tile's alignment slack.
 """
 
 from __future__ import annotations
@@ -40,26 +45,29 @@ import numpy as np
 from reduced3dgs_tpu.ops.preprocess import PreprocessOut, tile_grid
 
 ALIGN = 128  # must equal tile_render.K (kernel chunk width)
+CHUNK_GROUP = 8  # B_pad is a multiple of ALIGN*CHUNK_GROUP (relayout grid)
 # numpy, not jnp: a module-level device scalar would initialize the JAX
 # backend at import time, before platform.setup() can pin jax_platforms.
 _MAXI = np.int32(2**31 - 1)
 
 
 class BinningOut(NamedTuple):
-    gauss_aligned: jnp.ndarray  # (B_pad,) int32 primitive id per aligned slot
+    gauss_aligned: jnp.ndarray  # (B_pad,) int32 DEPTH-RANK id per slot
     pad_mask: jnp.ndarray  # (B_pad,) bool True where slot is padding
     tile_id: jnp.ndarray  # (B_pad,) int32 tile per aligned slot (num_tiles=pad)
     tile_ranges: jnp.ndarray  # (num_tiles, 2) int32 [start, end), K-aligned
     num_rendered: jnp.ndarray  # () int32 true instance count (may exceed B)
     total_padded: jnp.ndarray  # () int32 end of the written aligned region
-    seg_bounds: jnp.ndarray  # (P+1,) int32 per-primitive segment bounds,
-    # clipped to the written instance count: expand order is grouped by
-    # primitive in id order, so sorting per-instance values by primitive
-    # id (pad -> sentinel P) turns the per-Gaussian reduction into
-    # cumsum + boundary differences at these bounds
+    seg_bounds: jnp.ndarray  # (P+1,) int32 per-primitive segment bounds in
+    # DEPTH-RANK order, clipped to the written instance count: expand
+    # order is grouped by primitive in rank order, so sorting
+    # per-instance values by rank (pad -> sentinel P) turns the
+    # per-Gaussian reduction into cumsum + boundary differences
+    prim_order: jnp.ndarray  # (P,) int32 original primitive id per rank
+    prim_inv: jnp.ndarray  # (P,) int32 depth rank per original id
 
     def gauss_id(self):
-        """(B_pad,) primitive id per aligned slot (padding -> id 0)."""
+        """(B_pad,) depth-rank primitive id per slot (padding -> id 0)."""
         return jnp.where(self.pad_mask, 0, self.gauss_aligned)
 
 
@@ -67,13 +75,49 @@ def padded_size(budget: int, width: int, height: int, tile_rows=None) -> int:
     gx, gy = tile_grid(width, height)
     rows = gy if tile_rows is None else tile_rows[1]
     budget = -(-budget // ALIGN) * ALIGN  # keep B_pad a multiple of K
-    return budget + gx * rows * ALIGN
+    size = budget + gx * rows * ALIGN
+    group = ALIGN * CHUNK_GROUP  # feature-relayout kernel grid unit
+    return -(-size // group) * group
 
 
 def depth_key(depths):
     """f32 depth -> monotone int32 key (positive depths only, which the
     frustum cull guarantees: z > 0.2)."""
     return jax.lax.bitcast_convert_type(depths, jnp.int32)
+
+
+def _expand_broadcast(mark_pos, values, budget, p):
+    """Per-slot segmented broadcast: slot s in [start_p, start_{p'}) gets
+    values[p] (the owning primitive's value), via ONE P-descriptor
+    scatter + ONE dense cumsum per value column.
+
+    mark_pos: (P,) scatter slot per primitive (budget = dropped).
+    values:   list of (P,) int32, each >= 0.
+
+    Monotone columns could use a plain cummax, but the generic
+    telescoping form (scatter v[p] - v[prev marked p], cumsum) costs
+    the same one pass and handles arbitrary values: partial sums are
+    exactly v[last marked primitive] at every slot, so no intermediate
+    overflows or precision loss can occur in int32.
+    """
+    marked = mark_pos < budget
+    # previous-marked value per primitive (P-scale ffill, exclusive)
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return fb | fa, jnp.where(fb, vb, va)
+
+    outs = []
+    for v in values:
+        _, filled = jax.lax.associative_scan(
+            comb, (marked, jnp.where(marked, v, 0)))
+        prev = jnp.concatenate(
+            [jnp.zeros((1,), v.dtype), filled[:-1]])
+        delta = jnp.where(marked, v - prev, 0)
+        dm = jnp.zeros((budget,), jnp.int32).at[mark_pos].add(
+            delta, mode="drop")
+        outs.append(jnp.cumsum(dm))
+    return outs
 
 
 def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
@@ -98,74 +142,100 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
     num_tiles = grid_x * num_rows
     p = prep.tiles_touched.shape[0]
 
-    if tile_rows is None:
-        rect_min, rect_max = prep.rect_min, prep.rect_max
-        counts = prep.tiles_touched.astype(jnp.int32)  # (P,)
-    else:
-        ry_min = jnp.clip(prep.rect_min[:, 1], r0, r1)
-        ry_max = jnp.clip(prep.rect_max[:, 1], r0, r1)
-        rect_min = jnp.stack([prep.rect_min[:, 0], ry_min], axis=-1)
-        rect_max = jnp.stack([prep.rect_max[:, 0], ry_max], axis=-1)
-        counts = (rect_max[:, 0] - rect_min[:, 0]) * (ry_max - ry_min)
-        counts = jnp.maximum(counts, 0).astype(jnp.int32)
-    offsets = jnp.cumsum(counts)  # inclusive
-    num_rendered = offsets[-1] if p > 0 else jnp.int32(0)
+    # --- depth renumbering: primitive p -> rank in depth order ---------
+    # Ties (bit-equal depths) break by original id (stable sort), which
+    # reproduces the reference's stable radix order exactly.
+    order = jax.lax.sort(
+        (depth_key(prep.depths), jnp.arange(p, dtype=jnp.int32)),
+        num_keys=1, is_stable=True)[1]  # (P,) original id per rank
+    prim_inv = jnp.zeros((p,), jnp.int32).at[order].set(
+        jnp.arange(p, dtype=jnp.int32))
 
-    # instance slot -> owning primitive ("expand").  searchsorted would be
-    # a binary search = ~11 rounds of B-sized gathers (~90 ms/M on v5e);
-    # instead scatter one marker per non-empty primitive at its start slot
-    # (P descriptors, P << B) and forward-fill with a running max (gauss
-    # ids increase with start position).
+    if tile_rows is None:
+        rect_min = prep.rect_min[order]
+        rect_max = prep.rect_max[order]
+    else:
+        ry_min = jnp.clip(prep.rect_min[:, 1], r0, r1)[order]
+        ry_max = jnp.clip(prep.rect_max[:, 1], r0, r1)[order]
+        rect_min = jnp.stack([prep.rect_min[order, 0], ry_min], axis=-1)
+        rect_max = jnp.stack([prep.rect_max[order, 0], ry_max], axis=-1)
+    counts = jnp.maximum(
+        (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1]),
+        0).astype(jnp.int32)
+    offsets = jnp.cumsum(counts)  # inclusive, in rank order
+    num_rendered = offsets[-1] if p > 0 else jnp.int32(0)
+    nv = jnp.minimum(num_rendered, budget)
+
+    # --- per-tile counts: ONE rect-indicator matmul on the MXU ---------
+    # count2d[ty, tx] = #included primitives whose rect covers the tile.
+    # 0/1 indicators are exact in bf16; the f32 accumulator is exact for
+    # integer sums < 2^24.  Replaces the pre-alignment sort + per-tile
+    # searchsorted of the naive pipeline (identifyTileRanges,
+    # rasterizer_impl.cu:120-141).
+    ix = jnp.arange(grid_x, dtype=jnp.int32)[None, :]
+    iy = jnp.arange(num_rows, dtype=jnp.int32)[None, :] + r0
+    full = offsets <= nv  # every instance of the primitive fits
+    xin = ((ix >= rect_min[:, 0:1]) & (ix < rect_max[:, 0:1])
+           ).astype(jnp.bfloat16)
+    yin = ((iy >= rect_min[:, 1:2]) & (iy < rect_max[:, 1:2])
+           & full[:, None]).astype(jnp.bfloat16)
+    count2d = jax.lax.dot_general(
+        yin, xin, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (num_rows, grid_x)
+
+    # at most ONE boundary primitive is split by the budget: its first
+    # q instances (row-major over the rect, like duplicateWithKeys
+    # rasterizer_impl.cu:97-116) are included -> full rows + one partial
+    if p > 0:
+        p_star = jnp.sum(full.astype(jnp.int32))
+        ps = jnp.minimum(p_star, p - 1)
+        x0 = rect_min[ps, 0]
+        x1 = rect_max[ps, 0]
+        y0 = rect_min[ps, 1]
+        start_ps = offsets[ps] - counts[ps]
+        q = nv - start_ps
+        has_partial = (p_star < p) & (q > 0) & (counts[ps] > 0)
+        w = jnp.maximum(x1 - x0, 1)
+        fr = q // w
+        rem = q - fr * w
+        yfull = ((iy[0] >= y0) & (iy[0] < y0 + fr)).astype(jnp.float32)
+        xfull = ((ix[0] >= x0) & (ix[0] < x1)).astype(jnp.float32)
+        yrow = (iy[0] == y0 + fr).astype(jnp.float32)
+        xrem = ((ix[0] >= x0) & (ix[0] < x0 + rem)).astype(jnp.float32)
+        corr = yfull[:, None] * xfull[None, :] + yrow[:, None] * xrem[None, :]
+        count2d = count2d + jnp.where(has_partial, 1.0, 0.0) * corr
+    tcounts = count2d.reshape(num_tiles).astype(jnp.int32)
+
+    # --- expand: instance slot -> owning primitive ---------------------
+    # scatter one marker per non-empty primitive at its start slot
+    # (P descriptors, P << B) and prefix-fill (gauss ids and starts
+    # increase with start position; the packed rect word telescopes).
     slot = jnp.arange(budget, dtype=jnp.int32)
     starts_all = offsets - counts
     mark_pos = jnp.where(counts > 0, starts_all, budget)
-    markers = jnp.zeros((budget,), jnp.int32).at[mark_pos].max(
-        jnp.arange(p, dtype=jnp.int32), mode="drop")
-    gauss_c = jax.lax.associative_scan(jnp.maximum, markers)
-    in_range = slot < jnp.minimum(num_rendered, budget)
 
-    # the ONE gather of binning: per-primitive rows -> instances.  The
-    # rect fields are bit-packed into one int32 (10 bits each supports a
-    # 16K x 16K image's 1024-wide tile grid): every extracted column of
-    # the gathered row matrix costs a ~1.4 ms (B,)-relayout on v5e, so
-    # 3 columns instead of 5 is a direct win (profile_trace.py).
+    # rect fields bit-packed into one int32 (10 bits each supports a
+    # 16K x 16K image's 1024-wide tile grid)
     rect_w1 = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1) - 1  # w-1
-    rectpack = ((rect_min[:, 0] << 20) | (rect_min[:, 1] << 10) | rect_w1)
-    per_prim = jnp.stack(
-        [offsets - counts, rectpack, depth_key(prep.depths)],
-        axis=1)  # (P, 3)
-    rows = per_prim[gauss_c]  # (B, 3) contiguous row gather
+    rectpack = (rect_min[:, 0] << 20) | (rect_min[:, 1] << 10) | rect_w1
 
-    # rank within the primitive's rect -> tile coordinates, row-major over
-    # the rect exactly like the nested loop in duplicateWithKeys
-    # (rasterizer_impl.cu:97-116).
-    rank = slot - rows[:, 0]
-    rp = rows[:, 1]
-    rw = (rp & 1023) + 1
-    ty = ((rp >> 10) & 1023) + rank // rw
-    tx = (rp >> 20) + rank % rw
+    gauss_c, start_c, rect_c = _expand_broadcast(
+        mark_pos, [jnp.arange(p, dtype=jnp.int32), starts_all, rectpack],
+        budget, p)
+
+    # rank within the primitive's rect -> tile coordinates, row-major
+    # over the rect exactly like the nested loop in duplicateWithKeys
+    rank = slot - start_c
+    rw = (rect_c & 1023) + 1
+    ty = ((rect_c >> 10) & 1023) + rank // rw
+    tx = (rect_c >> 20) + rank % rw
     tile = (ty - r0) * grid_x + tx  # local tile id within the window
 
+    in_range = slot < nv
     tile = jnp.where(in_range, tile, num_tiles).astype(jnp.int32)
-    dkey = jnp.where(in_range, rows[:, 2], _MAXI)
+    gauss = jnp.where(in_range, gauss_c, _MAXI)
 
-    # sort #1: instance order within the budget
-    tile_s, dkey_s, gauss_s = jax.lax.sort(
-        (tile, dkey, gauss_c), num_keys=2, is_stable=True
-    )
-
-    # one searchsorted over T+1 boundaries: for integer tiles,
-    # side-left at t+1 == side-right at t, so start/end come from one
-    # call (each query costs ~20 serial descriptor gathers on TPU —
-    # halving the query count halves the dominant binning search cost).
-    bounds = jnp.searchsorted(
-        tile_s, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
-    range_start = bounds[:-1]
-    range_end = bounds[1:]
-    tcounts = range_end - range_start
-
-    # --- K-aligned relocation via sort #2 ------------------------------
+    # --- K-aligned relocation rides the ONE sort -----------------------
     padded = ((tcounts + ALIGN - 1) // ALIGN) * ALIGN
     new_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1]]
@@ -176,14 +246,12 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
     n_extra = b_pad - budget
 
     # synthetic padding instances: pad slot k belongs to the tile whose
-    # cumulative padding need covers k; their (tile, MAX_KEY) keys sort
-    # into each tile's alignment slack.  searchsorted here would be
-    # n_extra queries x ~10 serial gathers (~60 ms/M measured on v5e);
-    # instead reuse the marker-scatter + running-max expand: each tile
-    # with nonzero padding scatters its id at its first pad slot (tile
-    # ids increase with slot, so collisions cannot occur), a sentinel
-    # num_tiles marks the end of all real padding, and a max-scan fills
-    # the gaps — T+1 descriptors + one scan instead of n_extra searches.
+    # cumulative padding need covers k; their (tile, MAX) keys sort
+    # into each tile's alignment slack.  Reuse the marker-scatter +
+    # running-max expand: each tile with nonzero padding scatters its id
+    # at its first pad slot (tile ids increase with slot, so collisions
+    # cannot occur), a sentinel num_tiles marks the end of all real
+    # padding, and a max-scan fills the gaps.
     pad_counts = padded - tcounts
     pad_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(pad_counts)])  # (T+1,)
@@ -195,39 +263,31 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
         jnp.arange(num_tiles + 1, dtype=jnp.int32), mode="drop")
     pad_tile = jax.lax.associative_scan(jnp.maximum, pmarkers)
 
-    # ONE fused key: 2*tile + is_pad.  The real part is already
-    # depth-sorted within each tile and the synthetic part is already in
-    # tile order, so a stable sort on (tile, is_pad) alone reproduces the
-    # (tile, depth, pad-last) order — no need to carry the depth key or a
-    # separate pad column (2 sort columns instead of 5; the B_pad-sized
-    # sorts are the largest single cost of the frame, PROFILE.md).
-    # Truncated instances (tile == num_tiles sentinel) are flagged pad
-    # so pad_mask identifies every invalid slot downstream.
-    fused = jnp.concatenate([
-        tile_s * 2 + (tile_s >= num_tiles),
-        pad_tile * 2 + 1,
-    ])
-    all_gauss = jnp.concatenate(
-        [gauss_s, jnp.zeros((n_extra,), jnp.int32)])
-
-    fused_a, gauss_a = jax.lax.sort(
-        (fused, all_gauss), num_keys=1, is_stable=True,
-    )
-    tile_a = fused_a >> 1
-    pad_a = fused_a & 1
+    # ONE unstable 2-column sort over B_pad: keys (tile, gauss).  gauss
+    # is simultaneously the depth order (rank renumbering), the pad flag
+    # (_MAXI sorts pads into the alignment slack) and the payload the
+    # kernels consume — no ties exist because each (tile, primitive)
+    # pair occurs at most once.
+    tile_all = jnp.concatenate([tile, pad_tile])
+    gauss_all = jnp.concatenate(
+        [gauss, jnp.full((n_extra,), _MAXI, jnp.int32)])
+    tile_a, gauss_a = jax.lax.sort(
+        (tile_all, gauss_all), num_keys=2, is_stable=False)
+    pad_a = (gauss_a == _MAXI) | (tile_a >= num_tiles)
 
     # per-primitive expand-order segment bounds, clipped to the written
-    # region: primitive p's instances occupy [bounds[p], bounds[p+1])
-    nv = jnp.minimum(num_rendered, budget)
+    # region: rank r's instances occupy [bounds[r], bounds[r+1])
     seg_bounds = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.minimum(offsets, nv)])
 
     return BinningOut(
         gauss_aligned=gauss_a,
-        pad_mask=pad_a == 1,
+        pad_mask=pad_a,
         tile_id=tile_a,
         tile_ranges=jnp.stack([new_start, new_start + tcounts], axis=-1),
         num_rendered=num_rendered,
         total_padded=total_padded,
         seg_bounds=seg_bounds,
+        prim_order=order,
+        prim_inv=prim_inv,
     )

@@ -78,7 +78,8 @@ def render_ref(
     SH culling).
     """
     grid_x, _ = tile_grid(width, height)
-    gauss_id = binning.gauss_id()
+    # binning ids are depth ranks; translate to original primitive ids
+    gauss_id = binning.prim_order[binning.gauss_id()]
     # alignment-slack slots carry a real tile id; mask them to num_tiles
     # so they never match a pixel tile
     inst_xy = prep.means2d[gauss_id]

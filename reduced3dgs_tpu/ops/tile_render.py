@@ -59,7 +59,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from reduced3dgs_tpu.ops.binning import ALIGN, BinningOut
+from reduced3dgs_tpu.ops.binning import ALIGN, CHUNK_GROUP, BinningOut
 from reduced3dgs_tpu.ops.preprocess import TILE_X, TILE_Y, PreprocessOut, tile_grid
 
 # Instance chunk width (lanes per loop iteration) = binning alignment.
@@ -787,6 +787,42 @@ def _build_trans(num_tiles, grid_x, width, height, b_pad, max_chunks,
 # packing / assembly helpers
 # ---------------------------------------------------------------------------
 
+def _relayout_kernel(x_ref, o_ref):
+    """(G, K, 16) row-gathered features -> (G, 16, K) chunk-major.
+
+    XLA's library transpose for this minor-dim swap runs at ~25 GB/s on
+    v5e (the (B,16) source wastes 112 of every 128 lanes, so it reads 8x
+    the logical bytes AND shuffles sublanes); doing it as G identity
+    matmuls on the MXU inside one streaming Pallas pass measures ~4x
+    faster end-to-end.  Transpose-by-identity is exact: HIGHEST f32
+    emulation represents each f32 operand as three bf16 terms (24
+    mantissa bits), and every output element is a single 1.0*x product
+    accumulated in f32.
+    """
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (FEAT_ROWS, FEAT_ROWS), 0)
+           == jax.lax.broadcasted_iota(
+               jnp.int32, (FEAT_ROWS, FEAT_ROWS), 1)).astype(jnp.float32)
+    for g in range(CHUNK_GROUP):
+        o_ref[g] = jax.lax.dot_general(
+            eye, x_ref[g], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.cache
+def _build_relayout(chunks, interpret):
+    return pl.pallas_call(
+        _relayout_kernel,
+        grid=(chunks // CHUNK_GROUP,),
+        in_specs=[pl.BlockSpec((CHUNK_GROUP, K, FEAT_ROWS),
+                               lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((CHUNK_GROUP, FEAT_ROWS, K),
+                               lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((chunks, FEAT_ROWS, K), jnp.float32),
+        interpret=interpret,
+    )
+
+
 def _pack_features(means2d, conic, opacity, color, binning: BinningOut):
     """Gather aligned instances into a chunk-major (B_pad/K, 16, K) array.
 
@@ -806,10 +842,11 @@ def _pack_features(means2d, conic, opacity, color, binning: BinningOut):
         [means2d, conic, opacity[:, None], color,
          jnp.zeros((means2d.shape[0], FEAT_ROWS - 9), means2d.dtype)],
         axis=1,
-    )  # (P, 16)
+    )[binning.prim_order]  # (P, 16), rows in depth-rank order
     b_pad = binning.pad_mask.shape[0]
     feat = per_gaussian[binning.gauss_id()]  # (B_pad, 16) row gather
-    feat3 = feat.reshape(b_pad // K, K, FEAT_ROWS).transpose(0, 2, 1)
+    feat3 = _build_relayout(b_pad // K, _interpret())(
+        feat.reshape(b_pad // K, K, FEAT_ROWS))
     return feat3, b_pad
 
 
@@ -890,7 +927,7 @@ def _segment_reduce_by_src(cols, binning: BinningOut):
         [jnp.concatenate([jnp.zeros((1,), c.dtype), jnp.cumsum(c)])
          for c in srt[1:]], axis=1)  # (B_pad+1, n)
     v = ps[zb]  # (P+1, n) row gather at monotone bounds
-    d = v[1:] - v[:-1]
+    d = (v[1:] - v[:-1])[binning.prim_inv]  # rank -> original id rows
     return [d[:, i] for i in range(d.shape[1])]
 
 
@@ -982,6 +1019,7 @@ def tile_render(prep: PreprocessOut, binning: BinningOut, background,
             axis=1)
         asum = jax.ops.segment_sum(acc_rows, seg_id,
                                    num_segments=num_p + 1)[:num_p]
+        asum = asum[binning.prim_inv]  # rank rows -> original id rows
         g_trans = asum[:, 0]
         g_touch = asum[:, 1].astype(jnp.int32)
     return color, t_fin, g_trans, g_touch
