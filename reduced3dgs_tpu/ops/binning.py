@@ -144,24 +144,35 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
 
     # --- depth renumbering: primitive p -> rank in depth order ---------
     # Ties (bit-equal depths) break by original id (stable sort), which
-    # reproduces the reference's stable radix order exactly.
-    order = jax.lax.sort(
-        (depth_key(prep.depths), jnp.arange(p, dtype=jnp.int32)),
-        num_keys=1, is_stable=True)[1]  # (P,) original id per rank
+    # reproduces the reference's stable radix order exactly.  The rect
+    # word and instance count ride the P-sized sort as payload — two
+    # extra P columns cost ~0.1 ms where post-sort P-row gathers cost
+    # ~1 ms each (gathers are descriptor-bound).
+    if tile_rows is None:
+        ry0 = prep.rect_min[:, 1]
+        ry1 = prep.rect_max[:, 1]
+    else:
+        ry0 = jnp.clip(prep.rect_min[:, 1], r0, r1)
+        ry1 = jnp.clip(prep.rect_max[:, 1], r0, r1)
+    rx0 = prep.rect_min[:, 0]
+    rx1 = prep.rect_max[:, 0]
+    counts0 = jnp.maximum((rx1 - rx0) * (ry1 - ry0), 0).astype(jnp.int32)
+    # rect fields bit-packed into one int32 (10 bits each supports a
+    # 16K x 16K image's 1024-wide tile grid)
+    rpack0 = ((rx0 << 20) | (ry0 << 10)
+              | (jnp.maximum(rx1 - rx0, 1) - 1))  # | (w-1)
+    _, order, rectpack, counts = jax.lax.sort(
+        (depth_key(prep.depths), jnp.arange(p, dtype=jnp.int32),
+         rpack0, counts0),
+        num_keys=1, is_stable=True)
     prim_inv = jnp.zeros((p,), jnp.int32).at[order].set(
         jnp.arange(p, dtype=jnp.int32))
 
-    if tile_rows is None:
-        rect_min = prep.rect_min[order]
-        rect_max = prep.rect_max[order]
-    else:
-        ry_min = jnp.clip(prep.rect_min[:, 1], r0, r1)[order]
-        ry_max = jnp.clip(prep.rect_max[:, 1], r0, r1)[order]
-        rect_min = jnp.stack([prep.rect_min[order, 0], ry_min], axis=-1)
-        rect_max = jnp.stack([prep.rect_max[order, 0], ry_max], axis=-1)
-    counts = jnp.maximum(
-        (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1]),
-        0).astype(jnp.int32)
+    rw_p = (rectpack & 1023) + 1
+    x0 = rectpack >> 20
+    y0 = (rectpack >> 10) & 1023
+    x1 = jnp.where(counts > 0, x0 + rw_p, x0)
+    y1 = y0 + jnp.where(counts > 0, counts // rw_p, 0)
     offsets = jnp.cumsum(counts)  # inclusive, in rank order
     num_rendered = offsets[-1] if p > 0 else jnp.int32(0)
     nv = jnp.minimum(num_rendered, budget)
@@ -175,9 +186,8 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
     ix = jnp.arange(grid_x, dtype=jnp.int32)[None, :]
     iy = jnp.arange(num_rows, dtype=jnp.int32)[None, :] + r0
     full = offsets <= nv  # every instance of the primitive fits
-    xin = ((ix >= rect_min[:, 0:1]) & (ix < rect_max[:, 0:1])
-           ).astype(jnp.bfloat16)
-    yin = ((iy >= rect_min[:, 1:2]) & (iy < rect_max[:, 1:2])
+    xin = ((ix >= x0[:, None]) & (ix < x1[:, None])).astype(jnp.bfloat16)
+    yin = ((iy >= y0[:, None]) & (iy < y1[:, None])
            & full[:, None]).astype(jnp.bfloat16)
     count2d = jax.lax.dot_general(
         yin, xin, (((0,), (0,)), ((), ())),
@@ -189,19 +199,17 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
     if p > 0:
         p_star = jnp.sum(full.astype(jnp.int32))
         ps = jnp.minimum(p_star, p - 1)
-        x0 = rect_min[ps, 0]
-        x1 = rect_max[ps, 0]
-        y0 = rect_min[ps, 1]
+        xs0, xs1, ys0 = x0[ps], x1[ps], y0[ps]
         start_ps = offsets[ps] - counts[ps]
         q = nv - start_ps
         has_partial = (p_star < p) & (q > 0) & (counts[ps] > 0)
-        w = jnp.maximum(x1 - x0, 1)
+        w = jnp.maximum(xs1 - xs0, 1)
         fr = q // w
         rem = q - fr * w
-        yfull = ((iy[0] >= y0) & (iy[0] < y0 + fr)).astype(jnp.float32)
-        xfull = ((ix[0] >= x0) & (ix[0] < x1)).astype(jnp.float32)
-        yrow = (iy[0] == y0 + fr).astype(jnp.float32)
-        xrem = ((ix[0] >= x0) & (ix[0] < x0 + rem)).astype(jnp.float32)
+        yfull = ((iy[0] >= ys0) & (iy[0] < ys0 + fr)).astype(jnp.float32)
+        xfull = ((ix[0] >= xs0) & (ix[0] < xs1)).astype(jnp.float32)
+        yrow = (iy[0] == ys0 + fr).astype(jnp.float32)
+        xrem = ((ix[0] >= xs0) & (ix[0] < xs0 + rem)).astype(jnp.float32)
         corr = yfull[:, None] * xfull[None, :] + yrow[:, None] * xrem[None, :]
         count2d = count2d + jnp.where(has_partial, 1.0, 0.0) * corr
     tcounts = count2d.reshape(num_tiles).astype(jnp.int32)
@@ -213,11 +221,6 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
     slot = jnp.arange(budget, dtype=jnp.int32)
     starts_all = offsets - counts
     mark_pos = jnp.where(counts > 0, starts_all, budget)
-
-    # rect fields bit-packed into one int32 (10 bits each supports a
-    # 16K x 16K image's 1024-wide tile grid)
-    rect_w1 = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1) - 1  # w-1
-    rectpack = (rect_min[:, 0] << 20) | (rect_min[:, 1] << 10) | rect_w1
 
     gauss_c, start_c, rect_c = _expand_broadcast(
         mark_pos, [jnp.arange(p, dtype=jnp.int32), starts_all, rectpack],

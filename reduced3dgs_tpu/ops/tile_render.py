@@ -871,6 +871,51 @@ def _rasterize_core(means2d, conic, opacity, color, binning, base,
     return out
 
 
+_CS_LANES = 1024  # cumsum kernel block width (b_pad is a multiple)
+
+
+def _cumsum9_kernel(ncols, x_ref, o_ref, carry):
+    """Exclusive prefix sum along axis 1 of a (ncols, B) block stream.
+
+    XLA lowers each 1-D cumsum to its own hierarchical reduce-window
+    (~0.34 ms per column per 2.2M rows on v5e); this kernel streams all
+    columns in one bandwidth-bound pass, scanning 128-lane blocks as
+    exclusive triangular matmuls on the MXU with an f32 running carry
+    (same split-bf16 2-pass precision as _scan_lanes).
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry[...] = jnp.zeros((ncols, 1), jnp.float32)
+
+    x = x_ref[...]
+    t = _tri(excl=True)
+    d = ((1,), (0,))
+    c = carry[...]
+    outs = []
+    for s in range(_CS_LANES // K0):
+        blk = x[:, s * K0:(s + 1) * K0]
+        hi, lo = _bf16_split(blk)
+        outs.append(_mm1(hi, t, d) + _mm1(lo, t, d) + c)
+        c = c + jnp.sum(blk, axis=1, keepdims=True)
+    o_ref[...] = jnp.concatenate(outs, axis=1)
+    carry[...] = c
+
+
+@functools.cache
+def _build_cumsum9(ncols, b_pad, interpret):
+    return pl.pallas_call(
+        functools.partial(_cumsum9_kernel, ncols),
+        grid=(b_pad // _CS_LANES,),
+        in_specs=[pl.BlockSpec((ncols, _CS_LANES), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((ncols, _CS_LANES), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((ncols, b_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((ncols, 1), jnp.float32)],
+        interpret=interpret,
+    )
+
+
 def _core_fwd(means2d, conic, opacity, color, binning, base, width, height,
               num_rows):
     grid_x, _ = tile_grid(width, height)
@@ -919,15 +964,16 @@ def _segment_reduce_by_src(cols, binning: BinningOut):
     key = jnp.where(binning.pad_mask, num_p, binning.gauss_aligned)
     srt = jax.lax.sort((key,) + tuple(cols), num_keys=1, is_stable=False)
     zb = binning.seg_bounds
-    # one batched boundary pick: stacking the prefix columns and doing a
-    # single ROW gather at the bounds costs ~one column's worth of the
-    # per-column scalar gathers it replaces (9 scalar boundary gathers
-    # measured 0.87 ms each on v5e)
-    ps = jnp.stack(
-        [jnp.concatenate([jnp.zeros((1,), c.dtype), jnp.cumsum(c)])
-         for c in srt[1:]], axis=1)  # (B_pad+1, n)
-    v = ps[zb]  # (P+1, n) row gather at monotone bounds
-    d = (v[1:] - v[:-1])[binning.prim_inv]  # rank -> original id rows
+    n = len(cols)
+    b_pad = cols[0].shape[0]
+    stacked = jnp.stack(srt[1:], axis=0)  # (n, B_pad), lane-dense rows
+    # ONE fused Pallas pass for all n prefix sums, then one batched
+    # boundary pick at the (monotone) bounds: exclusive prefixes make
+    # v[:, r] the sum before slot zb[r], so segment sums are adjacent
+    # differences with no leading-zero padding or masking.
+    pse = _build_cumsum9(n, b_pad, _interpret())(stacked)
+    v = jnp.take(pse, zb, axis=1)  # (n, P+1)
+    d = (v[:, 1:] - v[:, :-1]).T[binning.prim_inv]  # rank -> original id
     return [d[:, i] for i in range(d.shape[1])]
 
 
@@ -942,8 +988,13 @@ def _core_bwd(width, height, num_rows, res, g_packed):
     (dfeat,) = bwd(base, binning.tile_ranges.T, feat, g_packed, packed)
 
     # per-Gaussian reduction via sort-by-expand-position (only the 9
-    # gradient-carrying rows ride the sort)
-    cols = tuple(dfeat[:, f, :].reshape(b_pad) for f in range(9))
+    # gradient-carrying rows ride the sort).  Pad slots are zeroed: the
+    # unwritten tail past total_padded is uninitialized HBM, and the
+    # cumsum kernel's triangular matmuls would turn any NaN there into
+    # 0*NaN poison for valid lanes of the same 128-block.
+    cols = tuple(
+        jnp.where(binning.pad_mask, 0.0, dfeat[:, f, :].reshape(b_pad))
+        for f in range(9))
     sums = _segment_reduce_by_src(cols, binning)
     d_means2d = jnp.stack(sums[0:2], axis=1)
     d_conic = jnp.stack(sums[2:5], axis=1)
