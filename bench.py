@@ -38,8 +38,8 @@ REF_PIXELS_PER_S = 1.4e8
 # smallest/cheapest first so a wall-clock kill still leaves numbers
 CONFIGS = [
     (512, 512, 1 << 17, (0.002, 0.010), 1 << 21, "512p"),
-    (1280, 720, 1 << 19, (0.002, 0.008), 1 << 22, "720p"),
-    (1920, 1080, 1 << 19, (0.002, 0.010), 1 << 23, "1080p"),
+    (1280, 720, 1 << 19, (0.0008, 0.0035), 1 << 22, "720p"),
+    (1920, 1080, 1 << 19, (0.0008, 0.0035), 1 << 23, "1080p"),
 ]
 
 
