@@ -2,9 +2,9 @@
 """Full evaluation harness — mirror of /root/reference/full_eval.py.
 
 Trains + renders + evaluates the paper's 13 scenes (MipNeRF360 outdoor at
-images_4 / indoor at images_2, Tanks&Temples, Deep Blending) under named
-experiment configurations; `full_final` is the paper configuration
-(full_eval.py:32-54).
+images_4 / indoor at images_2, Tanks&Temples, Deep Blending) under the
+reference's named experiment configurations (full_eval.py:32-54);
+`full_final` is the paper configuration.
 """
 
 from __future__ import annotations
@@ -18,18 +18,47 @@ mipnerf360_indoor_scenes = ["room", "counter", "kitchen", "bonsai"]
 tanks_and_temples_scenes = ["truck", "train"]
 deep_blending_scenes = ["drjohnson", "playroom"]
 
-# experiment name -> extra train.py flags (full_eval.py:32-54)
+# experiment name -> extra train.py flags, composed exactly like the
+# reference (full_eval.py:32-54)
+_high_sh_sparsity = "--store_grads --lambda_sh_sparsity 0.1"
+_sh_sparsity = "--store_grads --lambda_sh_sparsity 0.01"
+_cull_sh = "--store_grads --cull_SH 15000 --std_threshold 0.04"
+_mercy_points = ("--mercy_points --prune_dead_points --store_grads "
+                 "--lambda_alpha_regul 0.001 "
+                 "--mercy_type redundancy_opacity_opacity")
+_ablation_common = " ".join([
+    _high_sh_sparsity, _cull_sh, _mercy_points,
+    "--std_threshold 0.04 --cdist_threshold 6"])
+
 configurations = {
     "baseline": "",
-    "prune": "--mercy_points --prune_dead_points",
-    "sh_sparsity": "--store_grads --lambda_sh_sparsity 0.1 --cull_SH 15000",
-    "full_final": (
-        "--store_grads --lambda_sh_sparsity 0.1 --cull_SH 15000 "
-        "--mercy_points --prune_dead_points --lambda_alpha_regul 0.001 "
-        "--std_threshold 0.04 --cdist_threshold 6 "
-        "--mercy_type redundancy_opacity_opacity"
-    ),
+    "high_sh_sparsity": _high_sh_sparsity,
+    "sh_sparsity": _sh_sparsity,
+    "cull_SH": _cull_sh,
+    "mercy_points": _mercy_points,
+    # Ours (the paper configuration)
+    "full_final": " ".join(
+        [_ablation_common, "--mercy_type redundancy_opacity_opacity"]),
+    # Mercy-type ablations
+    "mercy_type_opacity": " ".join(
+        [_ablation_common, "--mercy_type opacity"]),
+    "mercy_type_redundancy_random": " ".join(
+        [_ablation_common, "--mercy_type redundancy_random"]),
+    "mercy_type_redundancy_opacity": " ".join(
+        [_ablation_common, "--mercy_type redundancy_opacity"]),
+    # Compression-level ablations
+    "high_compression": " ".join(
+        [_high_sh_sparsity, _mercy_points,
+         "--std_threshold 0.06 --cdist_threshold 8 --cull_SH 15000 "
+         "--mercy_minimum 2 --mercy_type redundancy_opacity_opacity"]),
+    "low_compression": " ".join(
+        [_high_sh_sparsity, _mercy_points,
+         "--cull_SH 15000 --std_threshold 0.01 "
+         "--cdist_threshold 1 --mercy_type redundancy_opacity_opacity"]),
 }
+
+all_scene_names = (mipnerf360_outdoor_scenes + mipnerf360_indoor_scenes
+                   + tanks_and_temples_scenes + deep_blending_scenes)
 
 
 def main():
@@ -37,6 +66,8 @@ def main():
     parser.add_argument("--skip_training", action="store_true")
     parser.add_argument("--skip_rendering", action="store_true")
     parser.add_argument("--skip_metrics", action="store_true")
+    parser.add_argument("--skip_measure_fps", action="store_true",
+                        help="Argument passed to render.py")
     parser.add_argument("--output_path", default="./eval")
     parser.add_argument("--mipnerf360", "-m360", type=str,
                         default="MipNeRF360")
@@ -44,8 +75,11 @@ def main():
                         default="TanksAndTemples")
     parser.add_argument("--deepblending", "-db", type=str,
                         default="DeepBlending")
-    parser.add_argument("--configurations", nargs="+", type=str,
-                        default=["full_final"])
+    parser.add_argument("--experiments", "-e", nargs="+", type=str,
+                        default=["full_final"],
+                        choices=list(configurations.keys()))
+    parser.add_argument("--scenes", "-s", nargs="+", type=str,
+                        default=all_scene_names, choices=all_scene_names)
     args = parser.parse_args()
 
     scenes = (
@@ -57,18 +91,22 @@ def main():
         + [(args.deepblending, s, "") for s in deep_blending_scenes]
     )
 
-    for config in args.configurations:
+    fps_flag = " --skip_measure_fps" if args.skip_measure_fps else ""
+    for config in args.experiments:
         extra = configurations[config]
         for root, scene, imgflag in scenes:
+            if scene not in args.scenes:
+                continue
             src = os.path.join(root, scene)
-            out = os.path.join(args.output_path, config, scene)
+            out = os.path.join(args.output_path, scene, config)
             if not args.skip_training:
                 os.system(
                     f"python train.py -s {src} {imgflag} -m {out} "
                     f"--eval --quiet {extra}")
             if not args.skip_rendering:
                 os.system(
-                    f"python render.py -m {out} --eval --skip_train")
+                    f"python render.py -m {out} --eval --skip_train"
+                    f"{fps_flag}")
             if not args.skip_metrics:
                 os.system(f"python metrics.py -m {out}")
 

@@ -43,6 +43,7 @@ def main():
     parser.add_argument("--iteration", default=-1, type=int)
     parser.add_argument("--skip_train", action="store_true")
     parser.add_argument("--skip_test", action="store_true")
+    parser.add_argument("--skip_measure_fps", action="store_true")
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--models", nargs="+", type=str,
                         default=["baseline", "quantised_half"])
@@ -122,6 +123,8 @@ def main():
 
         # FPS over the test (or train) set, one warmup + timed passes
         cams = (scene.get_test_cameras() or scene.get_train_cameras())[:50]
+        if args.skip_measure_fps:
+            cams = []
         if cams:
             out = render_view(cams[0])
             jax.block_until_ready(out.color)
