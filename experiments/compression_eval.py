@@ -142,6 +142,9 @@ def train(data, model):
         "--std_threshold", "0.04",
         "--cdist_threshold", "6",
         "--mercy_type", "redundancy_opacity_opacity",
+        # fuse boundary-free iterations into one launch: this runtime
+        # pays ~30 ms dispatch per executable launch (PROFILE.md)
+        "--fused_steps", "16",
     ]
     r = subprocess.run(args, cwd=REPO, text=True,
                        capture_output=True, timeout=7200)

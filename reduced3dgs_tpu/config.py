@@ -79,6 +79,10 @@ class PipelineParams:
     compute_cov3D_python: bool = False
     debug: bool = False
     backend: str = "pallas"  # TPU addition: "pallas" | "xla"
+    # TPU addition: fuse up to N boundary-free train iterations into one
+    # lax.scan launch (amortizes per-launch dispatch; 1 = reference-exact
+    # one-launch-per-iteration behavior)
+    fused_steps: int = 1
 
 
 @dataclass(frozen=True)

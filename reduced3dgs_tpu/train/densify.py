@@ -253,7 +253,9 @@ def mercy_points(pool, opt, key, splat_counts, lambda_mercy=2.0,
         n - 1.0, 1.0
     )
     redundancy_threshold = mean + lambda_mercy * jnp.sqrt(var)
-    threshold = jnp.maximum(redundancy_threshold, float(mercy_minimum))
+    # mercy_minimum may be a traced scalar (mercy_step jits it non-static)
+    threshold = jnp.maximum(redundancy_threshold,
+                            jnp.asarray(mercy_minimum, jnp.float32))
     mask = alive & (counts > threshold)
     opacity = pool.get_opacity()[:, 0]
     opacity_threshold = jnp.float32(0.0)  # reference reports 0 for

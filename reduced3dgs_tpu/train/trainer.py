@@ -57,12 +57,7 @@ def make_lr_tree(params_like, opt_cfg: OptimizationParams, xyz_lr):
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("width", "height", "budget", "backend", "opt_cfg",
-                     "spatial_lr_scale", "skip_update"),
-)
-def train_step(state: TrainState, cam: CameraParams, gt_image, background,
+def _step_core(state: TrainState, cam: CameraParams, gt_image, background,
                iteration, *, width, height, budget, backend,
                opt_cfg: OptimizationParams, spatial_lr_scale: float,
                skip_update: bool = False):
@@ -139,6 +134,48 @@ def train_step(state: TrainState, cam: CameraParams, gt_image, background,
         # (train.py:116-155 with --store_grads)
         return state, metrics, grads
     return state, metrics
+
+
+train_step = functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "budget", "backend", "opt_cfg",
+                     "spatial_lr_scale", "skip_update"),
+)(_step_core)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "budget", "backend", "opt_cfg",
+                     "spatial_lr_scale"),
+)
+def train_steps_fused(state: TrainState, cams: CameraParams, gt_images,
+                      backgrounds, iterations, *, width, height, budget,
+                      backend, opt_cfg: OptimizationParams,
+                      spatial_lr_scale: float):
+    """A `lax.scan` of k ordinary (non-surgery) train steps in ONE
+    executable launch.
+
+    The semantics are identical to k sequential `train_step` calls —
+    the host only fuses runs with no surgery / SH-schedule / eval
+    boundary inside (Trainer.step_group).  The win is dispatch: this
+    environment's tunneled runtime costs ~30 ms per launch (PROFILE.md),
+    which otherwise dominates small-scene training; production runtimes
+    pay a smaller but still per-launch price.
+
+    cams/gt_images/backgrounds/iterations carry a leading (k,) axis.
+    """
+
+    def body(st, xs):
+        cam, gt, bg, it = xs
+        st, metrics = _step_core(
+            st, cam, gt, bg, it, width=width, height=height, budget=budget,
+            backend=backend, opt_cfg=opt_cfg,
+            spatial_lr_scale=spatial_lr_scale, skip_update=False)
+        return st, metrics
+
+    state, metrics = jax.lax.scan(
+        body, state, (cams, gt_images, backgrounds, iterations))
+    return state, metrics  # metric leaves stacked (k,)
 
 
 def _xyz_lr(iteration, opt_cfg: OptimizationParams, spatial_lr_scale):
@@ -262,10 +299,102 @@ class Trainer:
         self.iteration = 0
 
     # -- camera sampling (train.py:90-92: shuffle-without-replacement) ----
-    def next_camera(self):
+    def _next_camera_idx(self):
         if not self._stack:
             self._stack = list(self.rng.permutation(len(self.cameras)))
-        return self.cameras[self._stack.pop()]
+        return self._stack.pop()
+
+    def next_camera(self):
+        return self.cameras[self._next_camera_idx()]
+
+    def _events(self, iteration):
+        """The reference's densification-cadence booleans for one
+        iteration (train.py:131-150)."""
+        cfg = self.opt_cfg
+        will_densify = (iteration < cfg.densify_until_iter
+                        and iteration > cfg.densify_from_iter
+                        and iteration % cfg.densification_interval == 0)
+        will_reset = (iteration < cfg.densify_until_iter
+                      and (iteration % cfg.opacity_reset_interval == 0
+                           or (self.white_background
+                               and iteration == cfg.densify_from_iter)))
+        will_prune_dead = (iteration >= cfg.densify_until_iter
+                           and cfg.prune_dead_points
+                           and iteration % cfg.densification_interval == 0)
+        will_mercy = (cfg.mercy_points and self.scene is not None
+                      and iteration % (cfg.mercy_interval
+                                       * cfg.densification_interval) == 0
+                      and iteration <= self.fine_tune_start
+                      and (iteration >= cfg.densify_until_iter
+                           or iteration % cfg.opacity_reset_interval != 0))
+        return will_densify, will_reset, will_prune_dead, will_mercy
+
+    def fusible(self, iteration):
+        """True when `iteration` has no trainer-internal host boundary:
+        such iterations may run inside a fused `lax.scan` launch with
+        semantics identical to sequential step() calls."""
+        if iteration % 1000 == 0 or iteration in self.cull_sh_iterations:
+            return False
+        if iteration >= self.opt_cfg.iterations:  # final never steps
+            return False
+        return not any(self._events(iteration))
+
+    def step_group(self, iterations):
+        """Run consecutive boundary-free iterations in ONE fused launch
+        (train_steps_fused).  Returns a list of per-iteration metrics
+        dicts (device scalars).  Semantics match sequential step():
+        same camera sampling order, same random backgrounds, same
+        overflow-regrow-redo contract (the whole group re-runs from the
+        same state, same cameras, same backgrounds)."""
+        cfg = self.opt_cfg
+        assert all(self.fusible(i) for i in iterations)
+        self.iteration = iterations[-1]
+        # pop cameras / draw random backgrounds in EXACTLY the sequential
+        # step() order (host-RNG parity); fuse only a same-resolution
+        # prefix — a resolution change un-pops the camera and ends the
+        # group before its background would have been drawn
+        cams, bg_list = [], []
+        w = h = None
+        for _ in iterations:
+            i = self._next_camera_idx()
+            c = self.cameras[i]
+            if w is None:
+                w, h = c.width, c.height
+            elif (c.width, c.height) != (w, h):
+                self._stack.append(i)
+                break
+            cams.append(c)
+            if cfg.random_background:  # reference train.py:98
+                bg_list.append(self.rng.uniform(0.0, 1.0, 3))
+        k = len(cams)
+        iterations = list(iterations)[:k]
+        if cfg.random_background:
+            bgs = jnp.asarray(np.stack(bg_list), jnp.float32)
+        else:
+            bgs = jnp.tile(self.background[None], (k, 1))
+        cps = [c.params() for c in cams]
+        cams_stacked = jax.tree.map(
+            lambda *leaves: jnp.stack([jnp.asarray(x) for x in leaves]),
+            *cps)
+        gts = jnp.stack([jnp.asarray(c.image) for c in cams])
+        its = jnp.asarray(iterations, jnp.int32)
+
+        while True:
+            budget = max(self._budget_for(c.uid) for c in cams)
+            st, metrics = train_steps_fused(
+                self.state, cams_stacked, gts, bgs, its,
+                width=w, height=h, budget=budget, backend=self.backend,
+                opt_cfg=cfg, spatial_lr_scale=self.spatial_lr_scale)
+            needed = np.asarray(metrics["num_rendered"])
+            if int(needed.max()) <= budget:
+                break
+            for c, n in zip(cams, needed):
+                if int(n) > self._budget_for(c.uid):
+                    self._budget_for(c.uid, int(n))
+        self.state = st
+        return [
+            {key: v[j] for key, v in metrics.items()} for j in range(k)
+        ]
 
     def _budget_for(self, cam_uid, needed=None):
         b = self.budgets.get(cam_uid, self.initial_budget)
@@ -308,22 +437,8 @@ class Trainer:
             self.state = self.state._replace(
                 pool=one_up_sh_degree(self.state.pool, self.max_sh_degree)
             )
-        will_densify = (iteration < cfg.densify_until_iter
-                        and iteration > cfg.densify_from_iter
-                        and iteration % cfg.densification_interval == 0)
-        will_reset = (iteration < cfg.densify_until_iter
-                      and (iteration % cfg.opacity_reset_interval == 0
-                           or (self.white_background
-                               and iteration == cfg.densify_from_iter)))
-        will_prune_dead = (iteration >= cfg.densify_until_iter
-                           and cfg.prune_dead_points
-                           and iteration % cfg.densification_interval == 0)
-        will_mercy = (cfg.mercy_points and self.scene is not None
-                      and iteration % (cfg.mercy_interval
-                                       * cfg.densification_interval) == 0
-                      and iteration <= self.fine_tune_start
-                      and (iteration >= cfg.densify_until_iter
-                           or iteration % cfg.opacity_reset_interval != 0))
+        will_densify, will_reset, will_prune_dead, will_mercy = (
+            self._events(iteration))
         surgery = will_densify or will_reset or will_prune_dead or will_mercy
         final = iteration >= cfg.iterations
 

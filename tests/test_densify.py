@@ -106,3 +106,19 @@ def test_masked_quantile_matches_torch_semantics():
     got = float(densify.masked_median(jnp.asarray(v), jnp.asarray(mask)))
     want = float(torch.median(torch.tensor(v[mask])))
     assert abs(got - want) < 1e-6
+
+
+def test_mercy_step_traced_args():
+    """mercy thresholds through the trainer's jitted mercy_step, where
+    lambda_mercy/mercy_minimum arrive as traced scalars (the path the
+    CLI exercises; regression for a ConcretizationTypeError)."""
+    from reduced3dgs_tpu.train.trainer import TrainState, mercy_step
+
+    pool = make_pool()
+    opt = adam.init(pool.params)
+    st = TrainState(pool, opt, jax.random.PRNGKey(0))
+    counts = jnp.arange(pool.capacity, dtype=jnp.float32)
+    st2, stats = mercy_step(st, counts, lambda_mercy=1.0, mercy_minimum=3,
+                            mercy_type="redundancy_opacity_opacity")
+    assert int(st2.pool.num_alive) <= int(pool.num_alive)
+    assert "n_points_mercied" in stats

@@ -191,11 +191,41 @@ def main():
     import time as _time
 
     ema = 0.0
-    for iteration in range(first_iter + 1, opt.iterations + 1):
-        gui.poll(iteration)
-        t0 = _time.perf_counter()
-        metrics = trainer.step(iteration)
-        elapsed = _time.perf_counter() - t0
+    # fuse up to pipe.fused_steps boundary-free iterations into one
+    # lax.scan launch; host work (logging/eval/save) replays per
+    # iteration afterwards, and any iteration whose state an eval/save
+    # must observe ends its group
+    fused = max(1, int(getattr(pipe, "fused_steps", 1)))
+    host_bounds = (set(args.test_iterations)
+                   | set(args.checkpoint_iterations)
+                   | set(args.save_iterations))
+
+    def run_iterations():
+        iteration = first_iter + 1
+        while iteration <= opt.iterations:
+            gui.poll(iteration)
+            k = 1
+            if fused > 1 and trainer.fusible(iteration):
+                while (k < fused and iteration + k <= opt.iterations
+                       and trainer.fusible(iteration + k)
+                       and (iteration + k - 1) not in host_bounds):
+                    k += 1
+            t0 = _time.perf_counter()
+            if k > 1:
+                ms = trainer.step_group(
+                    list(range(iteration, iteration + k)))
+                elapsed = (_time.perf_counter() - t0) / len(ms)
+                for j, m in enumerate(ms):
+                    post_step(iteration + j, m, elapsed)
+                iteration += len(ms)
+            else:
+                metrics = trainer.step(iteration)
+                post_step(iteration, metrics,
+                          _time.perf_counter() - t0)
+                iteration += 1
+
+    def post_step(iteration, metrics, elapsed):
+        nonlocal ema
         for k in ("n_points_cloned", "n_points_split", "n_points_mercied",
                   "n_points_pruned", "redundancy_threshold",
                   "opacity_threshold"):
@@ -278,6 +308,8 @@ def main():
                     trainer.state, jnp.float32(trainer.extent))
             scene.pool = trainer.state.pool
             scene.save(iteration)
+
+    run_iterations()
 
     if bar is not None:
         bar.close()
