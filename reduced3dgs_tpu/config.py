@@ -83,6 +83,11 @@ class PipelineParams:
     # lax.scan launch (amortizes per-launch dispatch; 1 = reference-exact
     # one-launch-per-iteration behavior)
     fused_steps: int = 1
+    # TPU addition: per-Gaussian gradient reduction payload precision.
+    # "f32" (default) keeps full precision; "bf16x2" packs gradient
+    # column pairs into one int32 sort payload (~4e-3 per-instance
+    # rounding, fastest)
+    grad_reduce: str = "f32"
 
 
 @dataclass(frozen=True)

@@ -863,11 +863,11 @@ def _packed_to_images(packed, grid_x, grid_y, width, height):
 # custom-VJP core: per-Gaussian arrays in, packed tile rows out
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def _rasterize_core(means2d, conic, opacity, color, binning, base,
-                    width, height, num_rows):
+                    width, height, num_rows, grad_reduce):
     out, _ = _core_fwd(means2d, conic, opacity, color, binning, base,
-                       width, height, num_rows)
+                       width, height, num_rows, grad_reduce)
     return out
 
 
@@ -917,7 +917,7 @@ def _build_cumsum9(ncols, b_pad, interpret):
 
 
 def _core_fwd(means2d, conic, opacity, color, binning, base, width, height,
-              num_rows):
+              num_rows, grad_reduce="f32"):
     grid_x, _ = tile_grid(width, height)
     num_tiles = num_rows * grid_x
     feat, b_pad = _pack_features(means2d, conic, opacity, color, binning)
@@ -938,7 +938,24 @@ def _core_fwd(means2d, conic, opacity, color, binning, base, width, height,
     return packed, res
 
 
-def _segment_reduce_by_src(cols, binning: BinningOut):
+def _pack_bf16x2(a, b):
+    """Two f32 columns -> one int32 column of (bf16(a) << 16 | bf16(b))."""
+    ah = jax.lax.bitcast_convert_type(
+        a.astype(jnp.bfloat16), jnp.uint16).astype(jnp.int32)
+    bh = jax.lax.bitcast_convert_type(
+        b.astype(jnp.bfloat16), jnp.uint16).astype(jnp.int32)
+    return (ah << 16) | bh
+
+
+def _unpack_bf16x2(v):
+    hi = jax.lax.bitcast_convert_type(
+        ((v >> 16) & 0xFFFF).astype(jnp.uint16), jnp.bfloat16)
+    lo = jax.lax.bitcast_convert_type(
+        (v & 0xFFFF).astype(jnp.uint16), jnp.bfloat16)
+    return hi.astype(jnp.float32), lo.astype(jnp.float32)
+
+
+def _segment_reduce_by_src(cols, binning: BinningOut, grad_reduce="f32"):
     """Per-primitive sums of per-instance columns, WITHOUT a scatter.
 
     An XLA scatter-add over ~1M unsorted rows costs ~20 ms on v5e — it
@@ -962,11 +979,34 @@ def _segment_reduce_by_src(cols, binning: BinningOut):
     """
     num_p = binning.seg_bounds.shape[0] - 1
     key = jnp.where(binning.pad_mask, num_p, binning.gauss_aligned)
-    srt = jax.lax.sort((key,) + tuple(cols), num_keys=1, is_stable=False)
-    zb = binning.seg_bounds
     n = len(cols)
     b_pad = cols[0].shape[0]
-    stacked = jnp.stack(srt[1:], axis=0)  # (n, B_pad), lane-dense rows
+    if grad_reduce == "bf16x2":
+        # production fast mode: pairs of gradient columns ride the sort
+        # as ONE bf16-packed int32 each (the sort is the largest single
+        # cost of the train step and scales with payload columns,
+        # PROFILE.md).  bf16 keeps f32 range; per-instance rounding is
+        # ~4e-3 relative, averaging down over a primitive's instances —
+        # far above CUDA's atomics noise, so this is opt-in
+        # (--grad_reduce bf16x2) and excluded from parity tests.
+        padded = list(cols) + [jnp.zeros_like(cols[0])] * (n % 2)
+        packs = [_pack_bf16x2(padded[i], padded[i + 1])
+                 for i in range(0, len(padded), 2)]
+        srt = jax.lax.sort((key,) + tuple(packs), num_keys=1,
+                           is_stable=False)
+        unpacked = []
+        for v in srt[1:]:
+            hi, lo = _unpack_bf16x2(v)
+            unpacked += [hi, lo]
+        sorted_cols = unpacked[:n]
+    elif grad_reduce == "f32":
+        srt = jax.lax.sort((key,) + tuple(cols), num_keys=1,
+                           is_stable=False)
+        sorted_cols = srt[1:]
+    else:
+        raise ValueError(f"unknown grad_reduce {grad_reduce!r}")
+    zb = binning.seg_bounds
+    stacked = jnp.stack(sorted_cols, axis=0)  # (n, B_pad), lane-dense rows
     # ONE fused Pallas pass for all n prefix sums, then one batched
     # boundary pick at the (monotone) bounds: exclusive prefixes make
     # v[:, r] the sum before slot zb[r], so segment sums are adjacent
@@ -977,7 +1017,7 @@ def _segment_reduce_by_src(cols, binning: BinningOut):
     return [d[:, i] for i in range(d.shape[1])]
 
 
-def _core_bwd(width, height, num_rows, res, g_packed):
+def _core_bwd(width, height, num_rows, grad_reduce, res, g_packed):
     feat, binning, base, packed, num_p = res
     grid_x, _ = tile_grid(width, height)
     num_tiles = num_rows * grid_x
@@ -995,7 +1035,7 @@ def _core_bwd(width, height, num_rows, res, g_packed):
     cols = tuple(
         jnp.where(binning.pad_mask, 0.0, dfeat[:, f, :].reshape(b_pad))
         for f in range(9))
-    sums = _segment_reduce_by_src(cols, binning)
+    sums = _segment_reduce_by_src(cols, binning, grad_reduce)
     d_means2d = jnp.stack(sums[0:2], axis=1)
     d_conic = jnp.stack(sums[2:5], axis=1)
     d_opacity = sums[5]
@@ -1015,7 +1055,7 @@ _rasterize_core.defvjp(_core_fwd, _core_bwd)
 
 def tile_render(prep: PreprocessOut, binning: BinningOut, background,
                 width: int, height: int, want_transmittance: bool = False,
-                tile_rows=None):
+                tile_rows=None, grad_reduce: str = "f32"):
     """Pallas-rendered image with reference-parity semantics.
 
     tile_rows=(r0, num_rows) renders only that horizontal strip of tile
@@ -1038,7 +1078,7 @@ def tile_render(prep: PreprocessOut, binning: BinningOut, background,
     base = (jnp.asarray(r0, jnp.int32) * grid_x).reshape(1)
     packed = _rasterize_core(
         prep.means2d, prep.conic, prep.opacity, prep.color,
-        binning, base, width, height, num_rows,
+        binning, base, width, height, num_rows, grad_reduce,
     )
     color, t_fin = _packed_to_images(packed, grid_x, num_rows, width,
                                      crop_h)

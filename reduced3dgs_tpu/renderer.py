@@ -49,7 +49,7 @@ class RenderOut(NamedTuple):
     jax.jit,
     static_argnames=(
         "width", "height", "instance_budget", "backend", "want_transmittance",
-        "strip_rows",
+        "strip_rows", "grad_reduce",
     ),
 )
 def render(
@@ -73,6 +73,7 @@ def render(
     strip_r0=None,
     strip_rows: int | None = None,
     color_precomp=None,
+    grad_reduce: str = "f32",  # "bf16x2": packed-payload reduction sort
 ) -> RenderOut:
     """color_precomp: optional (P, 3) precomputed per-primitive colors —
     the variable-SH ragged inference path (models/variable_sh.py) and
@@ -107,6 +108,7 @@ def render(
         color, final_t, g_trans, g_touch = tile_render(
             prep, b, background, width, height,
             want_transmittance=want_transmittance, tile_rows=tile_rows,
+            grad_reduce=grad_reduce,
         )
     else:
         raise ValueError(f"unknown backend {backend!r}")

@@ -60,7 +60,7 @@ def make_lr_tree(params_like, opt_cfg: OptimizationParams, xyz_lr):
 def _step_core(state: TrainState, cam: CameraParams, gt_image, background,
                iteration, *, width, height, budget, backend,
                opt_cfg: OptimizationParams, spatial_lr_scale: float,
-               skip_update: bool = False):
+               skip_update: bool = False, grad_reduce: str = "f32"):
     pool, opt, key = state
     c = pool.capacity
 
@@ -72,6 +72,7 @@ def _step_core(state: TrainState, cam: CameraParams, gt_image, background,
             pool.degrees, cam, background,
             width=width, height=height, instance_budget=budget,
             alive_mask=pool.alive, backend=backend,
+            grad_reduce=grad_reduce,
             screen_offset=screen_offset,
         )
         gt = gt_image
@@ -139,19 +140,19 @@ def _step_core(state: TrainState, cam: CameraParams, gt_image, background,
 train_step = functools.partial(
     jax.jit,
     static_argnames=("width", "height", "budget", "backend", "opt_cfg",
-                     "spatial_lr_scale", "skip_update"),
+                     "spatial_lr_scale", "skip_update", "grad_reduce"),
 )(_step_core)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "budget", "backend", "opt_cfg",
-                     "spatial_lr_scale"),
+                     "spatial_lr_scale", "grad_reduce"),
 )
 def train_steps_fused(state: TrainState, cams: CameraParams, gt_images,
                       backgrounds, iterations, *, width, height, budget,
                       backend, opt_cfg: OptimizationParams,
-                      spatial_lr_scale: float):
+                      spatial_lr_scale: float, grad_reduce: str = "f32"):
     """A `lax.scan` of k ordinary (non-surgery) train steps in ONE
     executable launch.
 
@@ -170,7 +171,8 @@ def train_steps_fused(state: TrainState, cams: CameraParams, gt_images,
         st, metrics = _step_core(
             st, cam, gt, bg, it, width=width, height=height, budget=budget,
             backend=backend, opt_cfg=opt_cfg,
-            spatial_lr_scale=spatial_lr_scale, skip_update=False)
+            spatial_lr_scale=spatial_lr_scale, skip_update=False,
+            grad_reduce=grad_reduce)
         return st, metrics
 
     state, metrics = jax.lax.scan(
@@ -272,7 +274,7 @@ class Trainer:
                  backend: str = "pallas", max_sh_degree: int = 3,
                  seed: int = 0, initial_budget: int = 1 << 17,
                  cull_sh_iterations=(), scene=None,
-                 white_background: bool = False):
+                 white_background: bool = False, grad_reduce: str = "f32"):
         self.opt_cfg = opt_cfg
         # drives the extra opacity reset at densify_from_iter
         # (reference train.py:141-142)
@@ -281,6 +283,7 @@ class Trainer:
         self.spatial_lr_scale = float(spatial_lr_scale)
         self.background = jnp.asarray(background, jnp.float32)
         self.backend = backend
+        self.grad_reduce = grad_reduce
         self.max_sh_degree = max_sh_degree
         self.state = TrainState(pool, adam.init(pool.params),
                                 jax.random.PRNGKey(seed))
@@ -384,7 +387,8 @@ class Trainer:
             st, metrics = train_steps_fused(
                 self.state, cams_stacked, gts, bgs, its,
                 width=w, height=h, budget=budget, backend=self.backend,
-                opt_cfg=cfg, spatial_lr_scale=self.spatial_lr_scale)
+                opt_cfg=cfg, spatial_lr_scale=self.spatial_lr_scale,
+                grad_reduce=self.grad_reduce)
             needed = np.asarray(metrics["num_rendered"])
             if int(needed.max()) <= budget:
                 break
@@ -457,6 +461,7 @@ class Trainer:
                 budget=budget, backend=self.backend, opt_cfg=cfg,
                 spatial_lr_scale=self.spatial_lr_scale,
                 skip_update=surgery or final,
+                grad_reduce=self.grad_reduce,
             )
             st, metrics = out[0], out[1]
             grads = out[2] if len(out) == 3 else None

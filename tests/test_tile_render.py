@@ -119,3 +119,29 @@ def test_strip_rendering_matches_full(scene):
         strips.append(np.asarray(out.color))
     got = np.concatenate(strips, axis=0)[:H]  # crop strip padding rows
     np.testing.assert_allclose(got, np.asarray(full.color), atol=1e-6)
+
+
+def test_bf16x2_grad_reduce_accuracy(scene):
+    """--grad_reduce bf16x2 packs gradient column pairs into one int32
+    sort payload: per-instance bf16 rounding must stay a small relative
+    perturbation of the f32 reduction (it is an opt-in production fast
+    mode, not a parity mode)."""
+    (xyz, feats, scales, rots, opac, degrees), cp = scene
+    bg = jnp.array([0.2, 0.1, 0.4])
+    target = jnp.zeros((H, W, 3))
+
+    def loss(grad_reduce, *params):
+        out = render(
+            *params, degrees, cp, bg, width=W, height=H,
+            instance_budget=BUDGET, backend="pallas",
+            grad_reduce=grad_reduce,
+        )
+        return jnp.abs(out.color - target).mean()
+
+    args = (xyz, feats, scales, rots, opac)
+    g32 = jax.grad(lambda *a: loss("f32", *a), argnums=(0, 2))(*args)
+    g16 = jax.grad(lambda *a: loss("bf16x2", *a), argnums=(0, 2))(*args)
+    for a, b in zip(g32, g16):
+        scale = np.abs(np.asarray(a)).max()
+        err = np.abs(np.asarray(a) - np.asarray(b)).max()
+        assert err < 2e-2 * scale, (err, scale)

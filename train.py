@@ -99,6 +99,7 @@ def main():
         backend=backend, max_sh_degree=dataset.sh_degree,
         seed=args.seed, cull_sh_iterations=args.cull_SH, scene=scene,
         white_background=dataset.white_background,
+        grad_reduce=pipe.grad_reduce,
     )
     trainer.extent = scene.cameras_extent
     first_iter = 0
