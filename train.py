@@ -211,6 +211,9 @@ def main():
                        and trainer.fusible(iteration + k)
                        and (iteration + k - 1) not in host_bounds):
                     k += 1
+                # round down to a power of two so ragged boundary tails
+                # reuse a bounded set of compiled scan lengths
+                k = 1 << (k.bit_length() - 1)
             t0 = _time.perf_counter()
             if k > 1:
                 ms = trainer.step_group(
