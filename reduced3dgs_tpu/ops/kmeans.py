@@ -50,20 +50,28 @@ def _assign(values, centers, chunk=1 << 16):
 
 @partial(jax.jit, static_argnames=("num_clusters", "max_iterations"))
 def kmeans_1d(values, init_centers, tol=1e-4, *, num_clusters=256,
-              max_iterations=500):
+              max_iterations=500, weights=None):
     """Lloyd iterations until sum |delta center| < tol (kmeans.cu driver).
 
     Empty clusters keep their previous center (the CUDA updateCenters
     divides accumulated sums by counts only where count > 0).
+
+    `weights` (same flat length as `values`, 0/1) lets callers exclude
+    padding rows from the center updates while keeping static shapes:
+    zero-weight values still get an id assigned but contribute nothing
+    to the fit (the CUDA path never sees dead rows at all — it fits on
+    the compacted tensor, kmeans.cu:13-31).
     """
     values = values.reshape(-1).astype(jnp.float32)
+    w = (jnp.ones_like(values) if weights is None
+         else weights.reshape(-1).astype(jnp.float32))
 
     def step(carry):
         centers, _, it = carry
         ids = _assign(values, centers)
-        sums = jax.ops.segment_sum(values, ids, num_segments=num_clusters)
-        counts = jax.ops.segment_sum(jnp.ones_like(values), ids,
-                                     num_segments=num_clusters)
+        sums = jax.ops.segment_sum(values * w, ids,
+                                   num_segments=num_clusters)
+        counts = jax.ops.segment_sum(w, ids, num_segments=num_clusters)
         new_centers = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0),
                                 centers)
         delta = jnp.abs(new_centers - centers).sum()
@@ -81,15 +89,33 @@ def kmeans_1d(values, init_centers, tol=1e-4, *, num_clusters=256,
     return ids, centers
 
 
+def _quantile_init(flat, weights, num_clusters):
+    """Centers at evenly spaced quantiles of the weight>0 values.
+
+    Deterministic, and when there are fewer distinct live values than
+    clusters every value gets (at least) one center, so the fit is
+    exact — the reference's random-sample init (gaussian_model.py:38)
+    can leave live values orphaned whenever alive << capacity."""
+    order = jnp.argsort(jnp.where(weights > 0, flat, jnp.inf))
+    n_alive = jnp.maximum((weights > 0).sum(), 1)
+    pos = (jnp.arange(num_clusters, dtype=jnp.float32) + 0.5) / num_clusters
+    idx = jnp.clip((pos * n_alive.astype(jnp.float32)).astype(jnp.int32),
+                   0, n_alive - 1)
+    return flat[order[idx]]
+
+
 def generate_codebook(values, key, inverse_activation_fn=lambda x: x,
-                      num_clusters=256, tol=1e-4):
-    """generate_codebook (gaussian_model.py:36-45): random-sample init,
-    fit, store inverse-activated centers + uint8-able ids."""
+                      num_clusters=256, tol=1e-4, weights=None):
+    """generate_codebook (gaussian_model.py:36-45): quantile init (see
+    _quantile_init; deterministic divergence from the reference's
+    random sampling), fit, store inverse-activated centers +
+    uint8-able ids.  `key` is kept for API compatibility."""
+    del key
     shape = values.shape
     flat = values.reshape(-1)
-    init_idx = jax.random.randint(key, (num_clusters,), 0, flat.shape[0])
-    ids, centers = kmeans_1d(flat, flat[init_idx], tol,
-                             num_clusters=num_clusters)
+    w = jnp.ones_like(flat) if weights is None else weights.reshape(-1)
+    ids, centers = kmeans_1d(flat, _quantile_init(flat, w, num_clusters),
+                             tol, num_clusters=num_clusters, weights=w)
     return Codebook(
         ids=ids.astype(jnp.uint8).reshape(shape),
         centers=inverse_activation_fn(centers).reshape(-1, 1),
@@ -101,46 +127,54 @@ def produce_clusters(pool, key, num_clusters=256, max_sh_degree=3):
     codebooks of the paper — features_dc, features_rest_0..14, opacity
     (inverse-sigmoid space), scaling (log space), rotation re/im.
 
-    Only alive rows feed the codebooks; dead slots would skew centers.
-    NOTE: the fit uses the alive values with dead rows *mapped to the
-    value of an arbitrary alive row* so shapes stay static.
+    Only alive rows feed the codebooks: dead slots get weight 0 in the
+    Lloyd updates (shapes stay static; ids for dead rows are computed
+    but never saved).  Activated values that saturate in f32 (sigmoid
+    -> 1.0 for logits > ~17) are clamped before the inverse activation
+    so stored centers stay finite.
     """
     alive = pool.alive
-    first_alive = jnp.argmax(alive)
 
-    def alive_vals(x):
-        src = jnp.where(
-            alive.reshape((-1,) + (1,) * (x.ndim - 1)), x, x[first_alive]
-        )
-        return src
+    def wts(x):
+        return jnp.broadcast_to(
+            alive.reshape((-1,) + (1,) * (x.ndim - 1)), x.shape
+        ).astype(jnp.float32)
 
     keys = jax.random.split(key, 20)
     max_coeffs = (max_sh_degree + 1) ** 2 - 1
     cb = {}
+    f_dc = pool.params.features_dc[:, 0]
     cb["features_dc"] = generate_codebook(
-        alive_vals(pool.params.features_dc)[:, 0], keys[0], tol=1e-3,
-        num_clusters=num_clusters,
+        f_dc, keys[0], tol=1e-3, num_clusters=num_clusters,
+        weights=wts(f_dc),
     )
     for i in range(max_coeffs):
+        f_i = pool.params.features_rest[:, i]
         cb[f"features_rest_{i}"] = generate_codebook(
-            alive_vals(pool.params.features_rest)[:, i], keys[1 + i],
-            num_clusters=num_clusters,
+            f_i, keys[1 + i], num_clusters=num_clusters, weights=wts(f_i),
         )
+    eps = 1e-6
     inv_sigmoid = lambda y: jnp.log(y / (1.0 - y))
+    op = jnp.clip(jax.nn.sigmoid(pool.params.opacity), eps, 1.0 - eps)
     cb["opacity"] = generate_codebook(
-        jax.nn.sigmoid(alive_vals(pool.params.opacity)), keys[16],
-        inverse_activation_fn=inv_sigmoid, num_clusters=num_clusters,
+        op, keys[16], inverse_activation_fn=inv_sigmoid,
+        num_clusters=num_clusters, weights=wts(op),
     )
+    sc = jnp.exp(pool.params.scaling)
     cb["scaling"] = generate_codebook(
-        jnp.exp(alive_vals(pool.params.scaling)), keys[17],
-        inverse_activation_fn=jnp.log, num_clusters=num_clusters,
+        sc, keys[17], inverse_activation_fn=lambda y: jnp.log(
+            jnp.maximum(y, 1e-30)),
+        num_clusters=num_clusters, weights=wts(sc),
     )
-    rot = alive_vals(pool.params.rotation)
-    rot = rot / jnp.linalg.norm(rot, axis=-1, keepdims=True)
+    rot = pool.params.rotation
+    rot = rot / jnp.maximum(jnp.linalg.norm(rot, axis=-1, keepdims=True),
+                            1e-12)
     cb["rotation_re"] = generate_codebook(rot[:, 0:1], keys[18],
-                                          num_clusters=num_clusters)
+                                          num_clusters=num_clusters,
+                                          weights=wts(rot[:, 0:1]))
     cb["rotation_im"] = generate_codebook(rot[:, 1:], keys[19],
-                                          num_clusters=num_clusters)
+                                          num_clusters=num_clusters,
+                                          weights=wts(rot[:, 1:]))
     return cb
 
 

@@ -56,6 +56,34 @@ def test_codebooks_reconstruct():
     assert ds.mean() < 0.1
 
 
+def test_codebooks_degenerate_small_pool():
+    """alive << num_clusters (and saturated opacity logits): every live
+    value must land on (essentially) its own center, with finite
+    inverse-activated centers.  Regression: the round-1 fit drowned the
+    live values in dead-row mass and stored inf opacity centers."""
+    pool = make_pool(n=14, cap=1024, seed=3)
+    # saturate one opacity logit: sigmoid -> 1.0 in f32
+    params = pool.params._replace(
+        opacity=pool.params.opacity.at[0, 0].set(32.0))
+    pool = pool._replace(params=params)
+    cb = kmeans.produce_clusters(pool, jax.random.PRNGKey(0))
+    for name, c in cb.items():
+        assert np.isfinite(np.asarray(c.centers)).all(), name
+    rec = kmeans.apply_clustering(pool, cb)
+    alive = np.asarray(pool.alive)
+    ds = np.abs(np.asarray(rec.params.scaling - pool.params.scaling))[alive]
+    assert ds.max() < 1e-3
+    # opacity compared post-sigmoid (saturated logits legitimately
+    # decode to a different logit with the same effective opacity)
+    so = 1 / (1 + np.exp(-np.asarray(pool.params.opacity)))[alive]
+    sr = 1 / (1 + np.exp(-np.asarray(rec.params.opacity)))[alive]
+    assert np.abs(so - sr).max() < 1e-3
+    rot = np.asarray(pool.params.rotation)
+    rot = rot / np.linalg.norm(rot, axis=-1, keepdims=True)
+    dr = np.abs(np.asarray(rec.params.rotation) - rot)[alive]
+    assert dr.max() < 1e-3
+
+
 def _roundtrip(tmp_path, quantised, half_float, atol):
     pool = make_pool()
     cb = (kmeans.produce_clusters(pool, jax.random.PRNGKey(0))
