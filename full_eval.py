@@ -80,7 +80,10 @@ def main():
                         choices=list(configurations.keys()))
     parser.add_argument("--scenes", "-s", nargs="+", type=str,
                         default=all_scene_names, choices=all_scene_names)
+    parser.add_argument("--dry_run", action="store_true",
+                        help="print the commands instead of running them")
     args = parser.parse_args()
+    run = print if args.dry_run else os.system
 
     scenes = (
         [(args.mipnerf360, s, "-i images_4") for s in
@@ -100,15 +103,13 @@ def main():
             src = os.path.join(root, scene)
             out = os.path.join(args.output_path, scene, config)
             if not args.skip_training:
-                os.system(
-                    f"python train.py -s {src} {imgflag} -m {out} "
+                run(f"python train.py -s {src} {imgflag} -m {out} "
                     f"--eval --quiet {extra}")
             if not args.skip_rendering:
-                os.system(
-                    f"python render.py -m {out} --eval --skip_train"
+                run(f"python render.py -m {out} --eval --skip_train"
                     f"{fps_flag}")
             if not args.skip_metrics:
-                os.system(f"python metrics.py -m {out}")
+                run(f"python metrics.py -m {out}")
 
 
 if __name__ == "__main__":
