@@ -64,7 +64,8 @@ def main():
 
     @jax.jit
     def do_fwd(xyz, feats, scales, rots, opac, degrees):
-        out = render(*args[:5], degrees, cp, bg, width=width, height=height,
+        out = render(xyz, feats, scales, rots, opac, degrees, cp, bg,
+                     width=width, height=height,
                      instance_budget=budget, backend="pallas")
         return out.color, out.num_rendered
 

@@ -156,7 +156,14 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
         ry1 = jnp.clip(prep.rect_max[:, 1], r0, r1)
     rx0 = prep.rect_min[:, 0]
     rx1 = prep.rect_max[:, 0]
-    counts0 = jnp.maximum((rx1 - rx0) * (ry1 - ry0), 0).astype(jnp.int32)
+    # gate on the validity-masked tiles_touched: raw rects are NOT
+    # masked for culled primitives (dead slots, behind-camera, det==0
+    # keep a stale >=1-tile rect), which would emit phantom instances
+    # that inflate num_rendered and, under truncation, displace real
+    # instances by their stale depth keys
+    counts0 = jnp.where(
+        prep.tiles_touched > 0,
+        jnp.maximum((rx1 - rx0) * (ry1 - ry0), 0), 0).astype(jnp.int32)
     # rect fields bit-packed into one int32 (10 bits each supports a
     # 16K x 16K image's 1024-wide tile grid)
     rpack0 = ((rx0 << 20) | (ry0 << 10)

@@ -160,7 +160,9 @@ def produce_clusters(pool, key, num_clusters=256, max_sh_degree=3):
         op, keys[16], inverse_activation_fn=inv_sigmoid,
         num_clusters=num_clusters, weights=wts(op),
     )
-    sc = jnp.exp(pool.params.scaling)
+    # clamp like opacity: a diverged scaling logit >= ~88.7 overflows
+    # exp in f32 and would store a non-finite center
+    sc = jnp.minimum(jnp.exp(pool.params.scaling), jnp.float32(1e30))
     cb["scaling"] = generate_codebook(
         sc, keys[17], inverse_activation_fn=lambda y: jnp.log(
             jnp.maximum(y, 1e-30)),

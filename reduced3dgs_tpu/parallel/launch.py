@@ -98,6 +98,7 @@ def scaling_bench(widths=(512,), n_prims=1 << 15, budget=1 << 18,
     results = []
     for w in widths:
         h = w
+        base_this_width = None
         for (nd, nt) in mesh_shapes:
             pool = G.create_from_pcd(pts, cols, capacity=n_prims)
             state = TrainState(pool, adam.init(pool.params),
@@ -124,9 +125,10 @@ def scaling_bench(widths=(512,), n_prims=1 << 15, budget=1 << 18,
             jax.block_until_ready(m["loss"])
             dt = (time.perf_counter() - t0) / iters
             pps = nd * w * h / dt  # pixels/s across the whole mesh
+            if base_this_width is None:  # first shape of THIS width
+                base_this_width = pps / (nd * nt)
             results.append(((nd, nt), pps))
-            base = results[0][1]
-            eff = pps / (base * nd * nt)
+            eff = pps / (base_this_width * nd * nt)
             print(json.dumps({
                 "mesh": f"{nd}x{nt}", "width": w,
                 "pixels_per_s": round(pps, 1),

@@ -35,11 +35,20 @@ def load_checkpoint(path):
     # rebuild the treedef from a skeleton with the right structure
     cap = leaves[0].shape[0]
     params = GaussianParams(*([0] * 6))
-    skeleton = TrainState(
-        pool=GaussianPool(params, 0, 0, 0, 0, 0, 0),
-        opt=AdamState(mu=params, nu=params, step=params),
-        key=0,
-    )
-    treedef = jax.tree.structure(skeleton)
-    state = jax.tree.unflatten(treedef, leaves)
+
+    def skeleton(step):
+        return TrainState(
+            pool=GaussianPool(params, 0, 0, 0, 0, 0, 0),
+            opt=AdamState(mu=params, nu=params, step=step),
+            key=0,
+        )
+
+    legacy = skeleton(0)  # pre-per-leaf-step format: one scalar step
+    if n == len(jax.tree.leaves(legacy)):
+        state = jax.tree.unflatten(jax.tree.structure(legacy), leaves)
+        state = state._replace(opt=state.opt._replace(
+            step=jax.tree.map(lambda _: state.opt.step, state.opt.mu)))
+    else:
+        state = jax.tree.unflatten(
+            jax.tree.structure(skeleton(params)), leaves)
     return state, int(data["iteration"]), float(data["spatial_lr_scale"])

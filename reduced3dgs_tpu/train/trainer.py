@@ -351,7 +351,6 @@ class Trainer:
         same state, same cameras, same backgrounds)."""
         cfg = self.opt_cfg
         assert all(self.fusible(i) for i in iterations)
-        self.iteration = iterations[-1]
         # pop cameras / draw random backgrounds in EXACTLY the sequential
         # step() order (host-RNG parity); fuse only a same-resolution
         # prefix — a resolution change un-pops the camera and ends the
@@ -371,6 +370,7 @@ class Trainer:
                 bg_list.append(self.rng.uniform(0.0, 1.0, 3))
         k = len(cams)
         iterations = list(iterations)[:k]
+        self.iteration = iterations[-1]  # after resolution truncation
         if cfg.random_background:
             bgs = jnp.asarray(np.stack(bg_list), jnp.float32)
         else:

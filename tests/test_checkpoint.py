@@ -31,3 +31,23 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(jax.tree.leaves(restored.opt.step)[0]) == 17
     assert restored.pool.capacity == 64
+
+
+def test_checkpoint_legacy_scalar_step_migrates(tmp_path):
+    """Checkpoints written before AdamState.step became per-leaf stored
+    one scalar step; load must broadcast it across the per-leaf slots."""
+    rng = np.random.default_rng(1)
+    pool = G.create_from_pcd(
+        rng.normal(0, 1, (10, 3)).astype(np.float32),
+        rng.uniform(0, 1, (10, 3)).astype(np.float32), capacity=16)
+    opt = adam.init(pool.params)
+    legacy = TrainState(pool, opt._replace(step=jnp.int32(42)),
+                        jax.random.PRNGKey(0))
+    path = os.path.join(str(tmp_path), "legacy.npz")
+    save_checkpoint(path, legacy, 500, 1.0)
+
+    restored, it, slr = load_checkpoint(path)
+    assert it == 500
+    steps = jax.tree.leaves(restored.opt.step)
+    assert len(steps) == len(jax.tree.leaves(restored.opt.mu))
+    assert all(int(s) == 42 for s in steps)

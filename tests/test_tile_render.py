@@ -103,6 +103,30 @@ def test_budget_overflow_reported(scene):
     assert n < BUDGET  # scene fits; sanity for the overflow contract
 
 
+def test_dead_slots_emit_no_instances(scene):
+    """Culled primitives (dead pool slots / alive_mask False) must not
+    produce binned instances: their stale rects are >=1 tile even at
+    radius 0, so counts must gate on the validity-masked tiles_touched
+    (regression: phantom instances inflated num_rendered and, under
+    truncation, displaced real instances by stale depth keys)."""
+    (xyz, feats, scales, rots, opac, degrees), cp = scene
+    n = xyz.shape[0]
+    alive = jnp.arange(n) < (n // 2)  # dead half still projects in-view
+    bg = jnp.array([0.2, 0.1, 0.4])
+
+    def go(x, f, s, r, o, d, mask):
+        return render(x, f, s, r, o, d, cp, bg, width=W, height=H,
+                      instance_budget=BUDGET, backend="pallas",
+                      alive_mask=mask)
+
+    masked = go(xyz, feats, scales, rots, opac, degrees, alive)
+    only = go(xyz[: n // 2], feats[: n // 2], scales[: n // 2],
+              rots[: n // 2], opac[: n // 2], degrees[: n // 2], None)
+    assert int(masked.num_rendered) == int(only.num_rendered)
+    np.testing.assert_allclose(np.asarray(masked.color),
+                               np.asarray(only.color), atol=1e-6)
+
+
 def test_strip_rendering_matches_full(scene):
     """tile_rows strips must reproduce the corresponding full-image rows
     (multi-chip image sharding building block)."""
