@@ -47,7 +47,9 @@ def build_step(width, height, n, budget, smin=0.002, smax=0.010):
         def loss(xyz, feats, scales, rots, opac):
             out = render(xyz, feats, scales, rots, opac, degrees, cp, bg,
                          width=width, height=height, instance_budget=budget,
-                         backend="pallas")
+                         backend="pallas",
+                         grad_reduce=os.environ.get(
+                             "R3DGS_GRAD_REDUCE", "f32"))
             return jnp.abs(out.color - target).mean(), out.num_rendered
         (l, nr), g = jax.value_and_grad(
             loss, argnums=(0, 1, 2, 3, 4), has_aux=True)(
