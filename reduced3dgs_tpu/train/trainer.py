@@ -401,9 +401,13 @@ class Trainer:
         ]
 
     def _budget_for(self, cam_uid, needed=None):
+        # {2^k, 3*2^(k-1)} ladder: every B-sized op (binning sort,
+        # expand, backward reduction) scales with the budget, so the
+        # finer ladder caps slack at 25% (vs 50% for doubling) for ~2x
+        # the worst-case compile-variant count
         b = self.budgets.get(cam_uid, self.initial_budget)
         while needed is not None and needed > b:
-            b *= 2
+            b = b // 2 * 3 if b & (b - 1) == 0 else b // 3 * 4
         self.budgets[cam_uid] = b
         return b
 
