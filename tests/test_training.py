@@ -97,3 +97,17 @@ def test_training_improves_psnr():
     # densification engaged
     assert tr.stats.get("n_points_cloned", 0) + tr.stats.get(
         "n_points_split", 0) >= 0
+
+
+def test_budget_ladder_growth():
+    """_budget_for grows on the {2^k, 3*2^(k-1)} ladder (ALIGN-divisible,
+    <=25% slack) and is per-camera sticky."""
+    tr = Trainer.__new__(Trainer)  # ladder logic only; no training state
+    tr.budgets = {}
+    tr.initial_budget = 1 << 17
+    assert tr._budget_for(0) == 1 << 17
+    assert tr._budget_for(0, needed=(1 << 17) + 1) == 3 << 16
+    assert tr._budget_for(0, needed=(3 << 16) + 1) == 1 << 18
+    assert tr._budget_for(0, needed=1_500_000) == 3 << 19
+    assert all(b % 128 == 0 for b in tr.budgets.values())
+    assert tr._budget_for(1) == 1 << 17  # other cameras unaffected
