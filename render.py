@@ -20,6 +20,7 @@ import os
 import sys
 import time
 from argparse import ArgumentParser
+from functools import partial
 
 import numpy as np
 
@@ -121,21 +122,64 @@ def main():
                         (np.clip(cam.image, 0, 1) * 255).astype(np.uint8)
                     ).save(os.path.join(base, "gt", f"{idx:05d}.png"))
 
-        # FPS over the test (or train) set, one warmup + timed passes
+        # FPS over the test (or train) set.  The reference times the
+        # rasterizer per view with CUDA events — i.e. device time, not
+        # host dispatch (render.py:43-51).  This sandbox's tunneled TPU
+        # runtime costs ~30 ms host dispatch PER launch (PROFILE.md),
+        # which would swamp the device time, so the equivalent here is
+        # a value-chained lax.scan over the stacked views inside ONE
+        # launch: wall clock then tracks device time + one dispatch.
         cams = (scene.get_test_cameras() or scene.get_train_cameras())[:50]
         if args.skip_measure_fps:
             cams = []
         if cams:
-            out = render_view(cams[0])
-            jax.block_until_ready(out.color)
-            times = []
-            for cam in cams:
-                t0 = time.perf_counter()
-                out = render_view(cam)
-                jax.block_until_ready(out.color)
-                times.append(time.perf_counter() - t0)
-            fps_results[model] = float(np.mean([1.0 / t for t in times]))
-            print(f"Model {model}: {fps_results[model]:.1f} FPS")
+            w, h = cams[0].width, cams[0].height
+            cams_f = [c for c in cams if (c.width, c.height) == (w, h)]
+            cps = jax.tree.map(
+                lambda *leaves: jnp.stack([jnp.asarray(x) for x in leaves]),
+                *[c.params() for c in cams_f])
+            budget = 1 << 19
+
+            def run_all(budget):
+                @partial(jax.jit, static_argnums=(1,))
+                def go(cps, budget):
+                    xyz0 = pool.params.xyz
+
+                    def body(carry, cp):
+                        color_precomp = None
+                        feats = pool.features()
+                        if ragged is not None:
+                            color_precomp = eval_colors(
+                                ragged, pool.params.xyz, cp.campos)
+                            feats = jnp.zeros(
+                                (xyz0.shape[0], 1, 3), jnp.float32)
+                        out = render(
+                            xyz0 + 1e-30 * carry, feats,
+                            pool.params.scaling, pool.params.rotation,
+                            pool.params.opacity[:, 0], pool.degrees, cp,
+                            background, width=w, height=h,
+                            instance_budget=budget,
+                            alive_mask=pool.alive, backend=pipe.backend,
+                            color_precomp=color_precomp)
+                        return out.color.mean(), out.num_rendered
+
+                    return jax.lax.scan(body, jnp.float32(0.0), cps)
+
+                return go(cps, budget)
+
+            while True:
+                last, nrs = run_all(budget)  # compile + warmup pass
+                jax.block_until_ready(last)
+                if int(jnp.max(nrs)) <= budget:
+                    break
+                budget *= 2
+            t0 = time.perf_counter()
+            last, _ = run_all(budget)
+            jax.block_until_ready(last)
+            dt = time.perf_counter() - t0
+            fps_results[model] = float(len(cams_f) / dt)
+            print(f"Model {model}: {fps_results[model]:.1f} FPS "
+                  f"({len(cams_f)} views in one launch)")
 
     with open(os.path.join(args.model_path, "fps_results.json"), "w") as f:
         json.dump(fps_results, f, indent=2)
