@@ -90,18 +90,34 @@ def kmeans_1d(values, init_centers, tol=1e-4, *, num_clusters=256,
 
 
 def _quantile_init(flat, weights, num_clusters):
-    """Centers at evenly spaced quantiles of the weight>0 values.
+    """Half the centers at evenly spaced quantiles of the weight>0
+    values (density), half uniformly over [min, max] (range coverage).
 
     Deterministic, and when there are fewer distinct live values than
-    clusters every value gets (at least) one center, so the fit is
-    exact — the reference's random-sample init (gaussian_model.py:38)
-    can leave live values orphaned whenever alive << capacity."""
+    half the clusters every value gets (at least) one quantile center,
+    so the fit is exact — the reference's random-sample init
+    (gaussian_model.py:38) can leave live values orphaned whenever
+    alive << capacity.  The uniform half bounds the error of sparse
+    TAILS: density-proportional centers starve values in low-density
+    ranges (e.g. a handful of quaternions with strongly negative re
+    among tens of thousands of positives), and one badly-quantised
+    rotation on a large splat smears a whole image region; uniform
+    centers cap the assignment gap at (max-min)/num_clusters·2 and
+    Lloyd still refines them (empty ones keep their position, dense
+    ones behave like quantile centers)."""
     order = jnp.argsort(jnp.where(weights > 0, flat, jnp.inf))
     n_alive = jnp.maximum((weights > 0).sum(), 1)
-    pos = (jnp.arange(num_clusters, dtype=jnp.float32) + 0.5) / num_clusters
+    nq = num_clusters // 2
+    pos = (jnp.arange(nq, dtype=jnp.float32) + 0.5) / nq
     idx = jnp.clip((pos * n_alive.astype(jnp.float32)).astype(jnp.int32),
                    0, n_alive - 1)
-    return flat[order[idx]]
+    qcenters = flat[order[idx]]
+    vmin = flat[order[0]]
+    vmax = flat[order[n_alive - 1]]
+    nu = num_clusters - nq
+    t = (jnp.arange(nu, dtype=jnp.float32) + 0.5) / nu
+    ucenters = vmin + t * (vmax - vmin)
+    return jnp.concatenate([qcenters, ucenters])
 
 
 def generate_codebook(values, key, inverse_activation_fn=lambda x: x,

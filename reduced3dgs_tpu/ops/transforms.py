@@ -81,8 +81,8 @@ def quat_to_rotmat(q):
 
     Row/column layout matches the reference build_rotation
     (utils/general_utils.py:78-100).  NOTE: does NOT normalize; callers
-    normalize (or deliberately don't — computeCov3D uses the raw quat,
-    forward.cu:216).
+    normalize (the reference always feeds unit quaternions — its CUDA
+    computeCov3D receives pre-normalized get_rotation, forward.cu:216).
     """
     r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     R = jnp.stack(
@@ -111,11 +111,19 @@ def build_cov3d(scales, rotations, scale_modifier=1.0):
     constructor resolves to exactly this (verified against a literal glm
     transcription in tests/test_transforms.py), and it equals the Python
     activation ``L = R @ S; Sigma = L L^T`` (utils/general_utils.py:102-110,
-    scene/gaussian_model.py:50-54).  `rotations` are used RAW (the kernel
-    skips normalization; callers normalize when needed).
+    scene/gaussian_model.py:50-54).  `rotations` are NORMALIZED here:
+    the reference normalizes everywhere upstream of its kernels
+    (get_rotation / build_rotation, gaussian_model.py:93,
+    general_utils.py:78-87), and every PLY consumer (quantisation,
+    SIBR viewers) assumes the raw stored quaternion only matters up to
+    scale.  Rendering the raw quaternion unnormalized lets training
+    exploit non-unit quats as extra shape freedom, which silently
+    breaks that contract (a normalized re-encode of the same model
+    then renders differently).
 
     Packing order: (xx, xy, xz, yy, yz, zz).
     """
+    rotations = normalize(rotations, eps=1e-12)
     R = quat_to_rotmat(rotations)  # (P,3,3)
     s = scale_modifier * scales  # (P,3)
     M = R * s[..., None, :]  # R @ diag(s): column j scaled by s_j

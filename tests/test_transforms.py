@@ -191,3 +191,17 @@ def test_ssim_band_decomposition():
         total = sum(float(ssim_band_sum(a, b, jnp.int32(i * band), band))
                     for i in range(ntile))
         np.testing.assert_allclose(total / (h * w * 3), full, rtol=2e-6)
+
+
+def test_cov3d_invariant_to_quaternion_scale():
+    """The stored quaternion only matters up to scale (the reference
+    normalizes in get_rotation/build_rotation before any covariance is
+    built); rendering must not treat non-unit quats as extra shape
+    freedom — that silently breaks the PLY/quantisation contract."""
+    rng = np.random.default_rng(5)
+    scales = np.abs(rng.normal(size=(16, 3))) * 0.5 + 0.05
+    quats = rng.normal(size=(16, 4))
+    a = np.asarray(tf.build_cov3d(jnp.array(scales), jnp.array(quats), 1.0))
+    b = np.asarray(tf.build_cov3d(jnp.array(scales),
+                                  jnp.array(quats * 2.7), 1.0))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
