@@ -35,11 +35,16 @@ import time
 REF_PIXELS_PER_S = 1.4e8
 
 # (width, height, primitives, splat scale range, instance budget, tag)
-# smallest/cheapest first so a wall-clock kill still leaves numbers
+# smallest/cheapest first so a wall-clock kill still leaves numbers.
+# Scales are tuned so the REFERENCE's square-rect binning would emit
+# ~2.5-3.1 instances/pixel (mid-training MipNeRF-360 depth complexity);
+# our exact tight-rect binning (ops/preprocess.py:binning_extents) bins
+# ~78% of that, and the budget is the {2^k, 3*2^(k-1)} ladder step the
+# trainer would settle on (75-96% utilised, never truncating).
 CONFIGS = [
-    (512, 512, 1 << 17, (0.002, 0.010), 1 << 21, "512p"),
-    (1280, 720, 1 << 19, (0.0008, 0.0035), 1 << 22, "720p"),
-    (1920, 1080, 1 << 19, (0.0008, 0.0035), 1 << 23, "1080p"),
+    (512, 512, 1 << 17, (0.008, 0.040), 3 << 18, "512p"),
+    (1280, 720, 1 << 19, (0.00392, 0.01715), 1 << 21, "720p"),
+    (1920, 1080, 1 << 19, (0.00432, 0.0189), 1 << 22, "1080p"),
 ]
 
 

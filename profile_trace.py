@@ -119,12 +119,15 @@ def parse_xspace(logdir, iters):
 def main():
     import jax
 
-    width, height, n, budget, iters = 512, 512, 1 << 17, 1 << 21, 20
+    width, height, n, budget, iters = 512, 512, 1 << 17, 3 << 18, 20
+    smin, smax = 0.008, 0.040
     if len(sys.argv) > 1:
         vals = [int(x) for x in sys.argv[1:6]]
         width, height, n, budget, iters = (
             vals + [width, height, n, budget, iters][len(vals):])
-    run, args = build_step(width, height, n, budget)
+    if len(sys.argv) > 6:
+        smin, smax = float(sys.argv[6]), float(sys.argv[7])
+    run, args = build_step(width, height, n, budget, smin, smax)
     l, nr, g = run(1, *args)
     jax.block_until_ready(g)
     print(f"num_rendered={int(nr)} budget={budget}", flush=True)

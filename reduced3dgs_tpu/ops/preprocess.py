@@ -53,17 +53,51 @@ def tile_grid(width: int, height: int):
     return ( (width + TILE_X - 1) // TILE_X, (height + TILE_Y - 1) // TILE_Y )
 
 
-def get_rect(point_image, radius, grid_x: int, grid_y: int):
+def get_rect(point_image, radius_x, grid_x: int, grid_y: int, radius_y=None):
     """Tile rectangle covered by a splat (auxiliary.h:46-56).
 
     radius may be float (ceil already applied); casts truncate toward zero
     exactly as the CUDA int casts do for the non-negative clamped operands.
+    The reference uses one square radius; per-axis extents are accepted so
+    the binning rect can be the ellipse's tight bounding box (see
+    `binning_extents`) — the square form is radius_y = radius_x.
     """
-    rmin_x = jnp.clip(((point_image[:, 0] - radius) / TILE_X).astype(jnp.int32), 0, grid_x)
-    rmin_y = jnp.clip(((point_image[:, 1] - radius) / TILE_Y).astype(jnp.int32), 0, grid_y)
-    rmax_x = jnp.clip(((point_image[:, 0] + radius + TILE_X - 1) / TILE_X).astype(jnp.int32), 0, grid_x)
-    rmax_y = jnp.clip(((point_image[:, 1] + radius + TILE_Y - 1) / TILE_Y).astype(jnp.int32), 0, grid_y)
+    if radius_y is None:
+        radius_y = radius_x
+    rmin_x = jnp.clip(((point_image[:, 0] - radius_x) / TILE_X).astype(jnp.int32), 0, grid_x)
+    rmin_y = jnp.clip(((point_image[:, 1] - radius_y) / TILE_Y).astype(jnp.int32), 0, grid_y)
+    rmax_x = jnp.clip(((point_image[:, 0] + radius_x + TILE_X - 1) / TILE_X).astype(jnp.int32), 0, grid_x)
+    rmax_y = jnp.clip(((point_image[:, 1] + radius_y + TILE_Y - 1) / TILE_Y).astype(jnp.int32), 0, grid_y)
     return jnp.stack([rmin_x, rmin_y], axis=-1), jnp.stack([rmax_x, rmax_y], axis=-1)
+
+
+# Binning cutoff: a pixel with alpha = op*exp(-q/2) below the kernels'
+# 1/255 skip (ALPHA_MIN, forward.cu:496) contributes nothing to the image
+# or gradients, so tiles entirely beyond the level set q = 2*ln(CUT*op)
+# can be exactly dropped from binning.  CUT uses a 300 > 255 margin so the
+# kernels' ~1e-4 absolute error in evaluating q (tile_render.py:90) can
+# never resurrect a culled pixel above the 1/255 skip.
+BIN_ALPHA_CUT = 300.0
+
+
+def binning_extents(cov2d, opacity):
+    """Per-axis pixel extents of the alpha >= 1/BIN_ALPHA_CUT level set.
+
+    The reference bins the square of half-width 3*sqrt(lambda_max)
+    (forward.cu:429-446); the tight per-axis bounding box of the ellipse
+    {d : d^T conic d = r2} is +-r*sqrt(cov_xx) x +-r*sqrt(cov_yy)
+    (min over the other coordinate of the quadratic is d_a^2 / cov_aa),
+    and the opacity-aware r2 = 2*ln(CUT*op) <= 9 shrinks low-opacity
+    splats further.  Always a subset of the reference's rect, and every
+    dropped (tile, splat) pair is alpha-skipped by the reference kernel
+    at all of its pixels — binning-exact, smaller num_rendered.
+    """
+    r2 = jnp.clip(2.0 * jnp.log(BIN_ALPHA_CUT * jnp.maximum(opacity, 1e-30)),
+                  0.0, 9.0)
+    ext_x = jnp.sqrt(r2 * jnp.maximum(cov2d[:, 0], 0.0))
+    ext_y = jnp.sqrt(r2 * jnp.maximum(cov2d[:, 2], 0.0))
+    dead = opacity * BIN_ALPHA_CUT < 1.0  # alpha < 1/CUT everywhere
+    return ext_x, ext_y, dead
 
 
 def preprocess(
@@ -152,12 +186,27 @@ def preprocess(
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(mid + disc, 0.0)))
     radius_f = jnp.where(live & det_ok, radius_f, 0.0)
 
-    rect_min, rect_max = get_rect(mean2d, radius_f, grid_x, grid_y)
-    rect_w = rect_max[:, 0] - rect_min[:, 0]
-    rect_h = rect_max[:, 1] - rect_min[:, 1]
-    tiles = rect_w * rect_h
+    # Reference-parity square rect: defines `radii` (the visibility filter
+    # that drives densification stats, train.py:131-138) exactly as
+    # forward.cu:434-446 does.
+    ref_min, ref_max = get_rect(mean2d, radius_f, grid_x, grid_y)
+    ref_tiles = ((ref_max[:, 0] - ref_min[:, 0])
+                 * (ref_max[:, 1] - ref_min[:, 1]))
+    valid = live & det_ok & (ref_tiles > 0)
 
-    valid = live & det_ok & (tiles > 0)
+    op_act = 1.0 / (1.0 + jnp.exp(-opacities_raw))
+
+    # Tight binning rect (subset of the square rect): per-axis,
+    # opacity-aware extents of the level set below which the render
+    # kernels alpha-skip every pixel — exact, smaller num_rendered.
+    ext_x, ext_y, op_dead = binning_extents(cov2d, op_act)
+    rect_min, rect_max = get_rect(
+        mean2d, jnp.minimum(ext_x, radius_f), grid_x, grid_y,
+        radius_y=jnp.minimum(ext_y, radius_f))
+    tiles = jnp.where(
+        valid & ~op_dead,
+        (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1]),
+        0)
 
     # --- color from SH (or precomputed)
     if color_precomp is None:
@@ -166,13 +215,11 @@ def preprocess(
     else:
         color = color_precomp
 
-    opacity = jnp.where(
-        valid, 1.0 / (1.0 + jnp.exp(-opacities_raw)), 0.0
-    )
+    opacity = jnp.where(valid, op_act, 0.0)
 
     validf = valid.astype(jnp.float32)
     radii = jnp.where(valid, radius_f.astype(jnp.int32), 0)
-    tiles_touched = jnp.where(valid, tiles, 0)
+    tiles_touched = tiles
     return PreprocessOut(
         means2d=mean2d,
         depths=depths,
