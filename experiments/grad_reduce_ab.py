@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""A/B evidence for --grad_reduce bf16x2 (VERDICT round 1, item 3 of
+PROFILE.md's sort-floor analysis).
+
+The per-Gaussian gradient reduction sort is the largest single device
+cost of the train step (PROFILE.md); packing gradient column pairs as
+bf16 halves its payload.  This experiment quantifies what that costs:
+
+1. one-step gradient error: relative L2 of bf16x2 vs f32 per-parameter
+   gradients on a mid-training-like synthetic scene;
+2. training quality: N iterations of the real Trainer on a procedural
+   multi-view scene, f32 vs bf16x2, comparing held-out PSNR.
+
+Run:  python experiments/grad_reduce_ab.py [iters]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    import jax
+    import jax.numpy as jnp
+
+    from reduced3dgs_tpu.cameras import Camera
+    from reduced3dgs_tpu.config import OptimizationParams
+    from reduced3dgs_tpu.models import gaussians as G
+    from reduced3dgs_tpu.ops.losses import psnr
+    from reduced3dgs_tpu.renderer import render
+    from reduced3dgs_tpu.train import adam
+    from reduced3dgs_tpu.train.trainer import Trainer, TrainState
+
+    w = h = 256
+    budget = 1 << 19
+    rng = np.random.default_rng(7)
+
+    # ground-truth world: colour-coherent blobs (structured targets)
+    n_gt = 3000
+    centers = rng.uniform(-1.0, 1.0, (40, 3)).astype(np.float32)
+    col_c = rng.uniform(0.1, 0.9, (40, 3)).astype(np.float32)
+    which = rng.integers(0, 40, n_gt)
+    xyz_gt = (centers[which]
+              + rng.normal(0, 0.15, (n_gt, 3)).astype(np.float32))
+    feats_gt = np.zeros((n_gt, 16, 3), np.float32)
+    feats_gt[:, 0] = (col_c[which]
+                      + rng.normal(0, 0.05, (n_gt, 3)) - 0.5) / 0.2820948
+    scales_gt = np.log(rng.uniform(0.02, 0.08, (n_gt, 3))).astype(np.float32)
+    rots_gt = rng.normal(0, 1, (n_gt, 4)).astype(np.float32)
+    opac_gt = rng.uniform(0.5, 3.0, n_gt).astype(np.float32)
+    deg_gt = np.full(n_gt, 0, np.int32)
+
+    cams = [Camera.look_at(
+        eye=(math.cos(a) * 3.2, 0.9, math.sin(a) * 3.2), target=(0, 0, 0),
+        width=w, height=h, uid=i)
+        for i, a in enumerate(np.linspace(0, 2 * math.pi, 14,
+                                          endpoint=False))]
+    test_cams = cams[::7]
+    train_cams = [c for c in cams if c not in test_cams]
+    bg = jnp.zeros(3)
+
+    @jax.jit
+    def gt_render(cp):
+        return render(
+            jnp.asarray(xyz_gt), jnp.asarray(feats_gt),
+            jnp.asarray(scales_gt), jnp.asarray(rots_gt),
+            jnp.asarray(opac_gt), jnp.asarray(deg_gt), cp, bg,
+            width=w, height=h, instance_budget=budget,
+            backend="pallas").color
+
+    gts = {c.uid: gt_render(c.params()) for c in cams}
+
+    # --- part 1: one-step gradient relative error ----------------------
+    n0 = 20000
+    pool = G.create_from_pcd(
+        rng.uniform(-1.2, 1.2, (n0, 3)).astype(np.float32),
+        rng.uniform(0.2, 0.8, (n0, 3)).astype(np.float32),
+        capacity=1 << 15 if n0 <= (1 << 15) else 1 << 17)
+    cp0 = train_cams[0].params()
+    gt0 = gts[train_cams[0].uid]
+
+    def loss_fn(params, mode):
+        out = render(
+            params["xyz"], params["features"],
+            params["scaling"], params["rotation"],
+            params["opacity"][..., 0], pool.degrees, cp0, bg,
+            width=w, height=h, instance_budget=budget,
+            backend="pallas", grad_reduce=mode)
+        return jnp.abs(out.color - gt0).mean()
+
+    g_f32 = jax.jit(jax.grad(lambda p: loss_fn(p, "f32")))(pool.params)
+    g_b16 = jax.jit(jax.grad(lambda p: loss_fn(p, "bf16x2")))(pool.params)
+    errs = {}
+    for k in g_f32:
+        a = np.asarray(g_f32[k]).ravel()
+        b = np.asarray(g_b16[k]).ravel()
+        denom = float(np.linalg.norm(a))
+        errs[k] = float(np.linalg.norm(b - a) / denom) if denom else 0.0
+
+    # --- part 2: short training A/B ------------------------------------
+    results = {}
+    for mode in ("f32", "bf16x2"):
+        cfg = OptimizationParams(
+            iterations=iters,
+            densify_from_iter=100, densification_interval=100,
+            densify_until_iter=max(iters - 100, 150),
+            opacity_reset_interval=10 ** 9,
+            grad_reduce=mode,
+        )
+        pool_m = G.create_from_pcd(
+            rng.uniform(-1.2, 1.2, (4000, 3)).astype(np.float32),
+            rng.uniform(0.2, 0.8, (4000, 3)).astype(np.float32),
+            capacity=1 << 15)
+        tr = Trainer(
+            TrainState(pool_m, adam.init(pool_m.params),
+                       jax.random.PRNGKey(1)),
+            cfg, width=w, height=h, instance_budget=budget,
+            spatial_lr_scale=1.0)
+        order = rng.permutation(
+            np.arange(len(train_cams)).repeat(
+                (iters // len(train_cams)) + 1))
+        for it in range(1, iters + 1):
+            cam = train_cams[order[it - 1]]
+            tr.step(it, cam.params(), gts[cam.uid], bg)
+        ps = []
+        for c in test_cams:
+            img = jax.jit(
+                lambda prm, cpp: render(
+                    prm["xyz"], prm["features"], prm["scaling"],
+                    prm["rotation"], prm["opacity"][..., 0],
+                    tr.state.pool.degrees, cpp, bg, width=w, height=h,
+                    instance_budget=budget, backend="pallas").color
+            )(tr.state.pool.params, c.params())
+            ps.append(float(psnr(img, gts[c.uid])))
+        results[mode] = sum(ps) / len(ps)
+
+    out = {
+        "one_step_grad_rel_l2": errs,
+        "test_psnr": results,
+        "psnr_delta_db": results["bf16x2"] - results["f32"],
+        "iters": iters,
+    }
+    print(json.dumps(out, indent=2))
+    with open(os.path.join(REPO, "experiments", "grad_reduce_ab.json"),
+              "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -107,13 +107,13 @@ def parse_xspace(logdir, iters):
                   f"busy={busy / 1e9 / iters:.3f} ms/iter "
                   f"span={(span_hi - span_lo) / 1e9 / iters:.3f} ms/iter --")
             items = sorted(totals.items(), key=lambda kv: -kv[1])
-            top = items[:25]
-            rest = sum(v for _, v in items[25:])
+            top = items[:60]
+            rest = sum(v for _, v in items[60:])
             for name, ps in top:
                 print(f"  {ps / 1e9 / iters:9.3f} ms/iter  {name[:95]}")
             if rest:
                 print(f"  {rest / 1e9 / iters:9.3f} ms/iter  (other "
-                      f"{len(items) - 25} ops)")
+                      f"{len(items) - 60} ops)")
 
 
 def main():

@@ -53,9 +53,8 @@ _MAXI = np.int32(2**31 - 1)
 
 class BinningOut(NamedTuple):
     gauss_aligned: jnp.ndarray  # (B_pad,) int32 DEPTH-RANK id per slot
-    pad_mask: jnp.ndarray  # (B_pad,) bool True where slot is padding
     tile_id: jnp.ndarray  # (B_pad,) int32 tile per aligned slot (num_tiles=pad)
-    tile_ranges: jnp.ndarray  # (num_tiles, 2) int32 [start, end), K-aligned
+    tile_ranges: jnp.ndarray  # (2, num_tiles) int32 [start; end), K-aligned
     num_rendered: jnp.ndarray  # () int32 true instance count (may exceed B)
     total_padded: jnp.ndarray  # () int32 end of the written aligned region
     seg_bounds: jnp.ndarray  # (P+1,) int32 per-primitive segment bounds in
@@ -65,6 +64,18 @@ class BinningOut(NamedTuple):
     # per-Gaussian reduction into cumsum + boundary differences
     prim_order: jnp.ndarray  # (P,) int32 original primitive id per rank
     prim_inv: jnp.ndarray  # (P,) int32 depth rank per original id
+
+    @property
+    def pad_mask(self):
+        """(B_pad,) bool, True where the slot is padding.
+
+        A property, not a stored field: padding slots carry the _MAXI
+        sentinel id, so the mask is one fused compare at each consumer.
+        Materialising it as a pred array made it a custom-vjp residual,
+        and bit-packed pred buffers repack through a scalar path on TPU
+        (~20 ns/bool sliced-prefetch cost measured at 1080p).
+        """
+        return self.gauss_aligned == _MAXI
 
     def gauss_id(self):
         """(B_pad,) depth-rank primitive id per slot (padding -> id 0)."""
@@ -86,19 +97,16 @@ def depth_key(depths):
     return jax.lax.bitcast_convert_type(depths, jnp.int32)
 
 
-def _expand_broadcast(mark_pos, values, budget, p):
-    """Per-slot segmented broadcast: slot s in [start_p, start_{p'}) gets
-    values[p] (the owning primitive's value), via ONE P-descriptor
-    scatter + ONE dense cumsum per value column.
+def _scatter_deltas(mark_pos, values, budget):
+    """Scatter telescoping deltas v[p] - v[prev marked p] at mark_pos.
 
     mark_pos: (P,) scatter slot per primitive (budget = dropped).
-    values:   list of (P,) int32, each >= 0.
-
-    Monotone columns could use a plain cummax, but the generic
-    telescoping form (scatter v[p] - v[prev marked p], cumsum) costs
-    the same one pass and handles arbitrary values: partial sums are
-    exactly v[last marked primitive] at every slot, so no intermediate
-    overflows or precision loss can occur in int32.
+    values:   list of (P,) int32.  Returns one (budget,) int32 delta
+    buffer per value; `jnp.cumsum` of it reproduces, at every slot,
+    the value of the last marked slot <= it (partial sums are exactly
+    v[last marked primitive], so no intermediate overflow can occur).
+    Scatters are descriptor-bound (~8 ns/descriptor), so callers keep
+    the column count minimal.
     """
     marked = mark_pos < budget
     # previous-marked value per primitive (P-scale ffill, exclusive)
@@ -114,9 +122,8 @@ def _expand_broadcast(mark_pos, values, budget, p):
         prev = jnp.concatenate(
             [jnp.zeros((1,), v.dtype), filled[:-1]])
         delta = jnp.where(marked, v - prev, 0)
-        dm = jnp.zeros((budget,), jnp.int32).at[mark_pos].add(
-            delta, mode="drop")
-        outs.append(jnp.cumsum(dm))
+        outs.append(jnp.zeros((budget,), jnp.int32).at[mark_pos].add(
+            delta, mode="drop"))
     return outs
 
 
@@ -223,15 +230,22 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
 
     # --- expand: instance slot -> owning primitive ---------------------
     # scatter one marker per non-empty primitive at its start slot
-    # (P descriptors, P << B) and prefix-fill (gauss ids and starts
-    # increase with start position; the packed rect word telescopes).
+    # (P descriptors, P << B) and prefix-fill.  TWO scattered columns
+    # only (scatters are descriptor-bound): the 1-based rank is
+    # strictly increasing across marks, so its delta buffer is nonzero
+    # exactly at the marks and the segment start (the third broadcast
+    # value) falls out as a running max of marked slot indices.
     slot = jnp.arange(budget, dtype=jnp.int32)
     starts_all = offsets - counts
     mark_pos = jnp.where(counts > 0, starts_all, budget)
 
-    gauss_c, start_c, rect_c = _expand_broadcast(
-        mark_pos, [jnp.arange(p, dtype=jnp.int32), starts_all, rectpack],
-        budget, p)
+    dg, dr = _scatter_deltas(
+        mark_pos, [jnp.arange(1, p + 1, dtype=jnp.int32), rectpack],
+        budget)
+    gauss_c = jnp.cumsum(dg) - 1  # 1-based back to 0-based rank
+    rect_c = jnp.cumsum(dr)
+    start_c = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(dg != 0, slot, 0))
 
     # rank within the primitive's rect -> tile coordinates, row-major
     # over the rect exactly like the nested loop in duplicateWithKeys
@@ -241,9 +255,10 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
     tx = (rect_c >> 20) + rank % rw
     tile = (ty - r0) * grid_x + tx  # local tile id within the window
 
+    # truncated slots (budget overflow) carry the (num_tiles, sentinel)
+    # key so they sort past every real instance and into the pad region
     in_range = slot < nv
     tile = jnp.where(in_range, tile, num_tiles).astype(jnp.int32)
-    gauss = jnp.where(in_range, gauss_c, _MAXI)
 
     # --- K-aligned relocation rides the ONE sort -----------------------
     padded = ((tcounts + ALIGN - 1) // ALIGN) * ALIGN
@@ -273,17 +288,32 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
         jnp.arange(num_tiles + 1, dtype=jnp.int32), mode="drop")
     pad_tile = jax.lax.associative_scan(jnp.maximum, pmarkers)
 
-    # ONE unstable 2-column sort over B_pad: keys (tile, gauss).  gauss
-    # is simultaneously the depth order (rank renumbering), the pad flag
-    # (_MAXI sorts pads into the alignment slack) and the payload the
-    # kernels consume — no ties exist because each (tile, primitive)
-    # pair occurs at most once.
-    tile_all = jnp.concatenate([tile, pad_tile])
-    gauss_all = jnp.concatenate(
-        [gauss, jnp.full((n_extra,), _MAXI, jnp.int32)])
-    tile_a, gauss_a = jax.lax.sort(
-        (tile_all, gauss_all), num_keys=2, is_stable=False)
-    pad_a = (gauss_a == _MAXI) | (tile_a >= num_tiles)
+    # ONE unstable sort over B_pad on (tile, gauss).  gauss is
+    # simultaneously the depth order (rank renumbering), the pad flag
+    # (sentinel sorts pads into the alignment slack) and the payload
+    # the kernels consume — no ties exist because each (tile,
+    # primitive) pair occurs at most once.  When (T+1)*(P+1) fits in
+    # 32 bits (every practical single-chip config) the two columns
+    # pack into ONE u32 key — sort cost scales with total column
+    # count, so this nearly halves the binning sort.
+    if (num_tiles + 1) * (p + 1) <= 1 << 32:
+        pp1 = jnp.uint32(p + 1)
+        key = (tile.astype(jnp.uint32) * pp1
+               + jnp.where(in_range, gauss_c, p).astype(jnp.uint32))
+        key_pad = pad_tile.astype(jnp.uint32) * pp1 + jnp.uint32(p)
+        key_a = jax.lax.sort(
+            jnp.concatenate([key, key_pad]), is_stable=False)
+        tile_a = (key_a // pp1).astype(jnp.int32)
+        gauss_u = key_a - tile_a.astype(jnp.uint32) * pp1
+        gauss_a = jnp.where(gauss_u == p, _MAXI,
+                            gauss_u.astype(jnp.int32))
+    else:
+        gauss = jnp.where(in_range, gauss_c, _MAXI)
+        tile_all = jnp.concatenate([tile, pad_tile])
+        gauss_all = jnp.concatenate(
+            [gauss, jnp.full((n_extra,), _MAXI, jnp.int32)])
+        tile_a, gauss_a = jax.lax.sort(
+            (tile_all, gauss_all), num_keys=2, is_stable=False)
 
     # per-primitive expand-order segment bounds, clipped to the written
     # region: rank r's instances occupy [bounds[r], bounds[r+1])
@@ -292,9 +322,8 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
 
     return BinningOut(
         gauss_aligned=gauss_a,
-        pad_mask=pad_a,
         tile_id=tile_a,
-        tile_ranges=jnp.stack([new_start, new_start + tcounts], axis=-1),
+        tile_ranges=jnp.stack([new_start, new_start + tcounts], axis=0),
         num_rendered=num_rendered,
         total_padded=total_padded,
         seg_bounds=seg_bounds,

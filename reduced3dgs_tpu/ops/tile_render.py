@@ -226,7 +226,9 @@ def _chunk_state(f, basis, cx, cy, idx_global, end, t_in, done_in):
     g = jnp.exp(jnp.minimum(power, 0.0))
     alpha = jnp.minimum(ALPHA_CLAMP, op * g)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (NPIX, K), 1)
+    # the range test depends only on the lane, so build it (1, K) and
+    # let it broadcast into the (NPIX, K) mask chain
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     in_range = (idx_global + lane) < end
     valid = in_range & (power <= POWER_EPS) & (alpha >= ALPHA_MIN)
 
@@ -823,6 +825,26 @@ def _build_relayout(chunks, interpret):
     )
 
 
+def _pin_kernel(x_ref, o_ref):
+    o_ref[...] = x_ref[...]
+
+
+@functools.cache
+def _build_pin(rows, interpret):
+    """Identity copy that pins a (P, 16) f32 array to the canonical
+    row-major layout (Pallas custom-call operands/results are always
+    row-major).  ~2 P*16 f32 HBM passes, ~0.1 ms at P=512k."""
+    bs = min(rows, 4096)
+    return pl.pallas_call(
+        _pin_kernel,
+        grid=(pl.cdiv(rows, bs),),
+        in_specs=[pl.BlockSpec((bs, FEAT_ROWS), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((bs, FEAT_ROWS), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, FEAT_ROWS), jnp.float32),
+        interpret=interpret,
+    )
+
+
 def _pack_features(means2d, conic, opacity, color, binning: BinningOut):
     """Gather aligned instances into a chunk-major (B_pad/K, 16, K) array.
 
@@ -843,7 +865,15 @@ def _pack_features(means2d, conic, opacity, color, binning: BinningOut):
          jnp.zeros((means2d.shape[0], FEAT_ROWS - 9), means2d.dtype)],
         axis=1,
     )[binning.prim_order]  # (P, 16), rows in depth-rank order
-    b_pad = binning.pad_mask.shape[0]
+    b_pad = binning.gauss_aligned.shape[0]
+    # Pin the table row-major before the row gather: XLA's layout
+    # assignment otherwise prefers a feature-major table (it fuses
+    # nicer with the column concatenate above), which makes the
+    # B-sized gather write strided and adds a relayout copy —
+    # measured 33 ms instead of ~9 ms at 1080p.  A Pallas identity
+    # forces the canonical row-major layout on both sides.
+    per_gaussian = _build_pin(per_gaussian.shape[0], _interpret())(
+        per_gaussian)
     feat = per_gaussian[binning.gauss_id()]  # (B_pad, 16) row gather
     feat3 = _build_relayout(b_pad // K, _interpret())(
         feat.reshape(b_pad // K, K, FEAT_ROWS))
@@ -932,7 +962,7 @@ def _core_fwd(means2d, conic, opacity, color, binning, base, width, height,
     one = (binning.num_rendered * 0 + 1).astype(jnp.float32)
     out_init = jnp.where(is_t_row, one, 0.0)
     base2 = jnp.concatenate([base, (binning.total_padded // K).reshape(1)])
-    ranges2 = binning.tile_ranges.T  # (2, num_tiles) for VMEM tiling
+    ranges2 = binning.tile_ranges  # (2, num_tiles) for VMEM tiling
     (packed,) = fwd(base2, ranges2, feat, out_init)
     res = (feat, binning, base, packed, means2d.shape[0])
     return packed, res
@@ -1025,7 +1055,7 @@ def _core_bwd(width, height, num_rows, grad_reduce, res, g_packed):
     max_chunks = pl.cdiv(b_pad, K)
     bwd = _build_bwd(num_tiles, grid_x, width, height, b_pad, max_chunks,
                      _interpret())
-    (dfeat,) = bwd(base, binning.tile_ranges.T, feat, g_packed, packed)
+    (dfeat,) = bwd(base, binning.tile_ranges, feat, g_packed, packed)
 
     # per-Gaussian reduction via sort-by-expand-position (only the 9
     # gradient-carrying rows ride the sort).  Pad slots are zeroed: the
@@ -1094,7 +1124,7 @@ def tile_render(prep: PreprocessOut, binning: BinningOut, background,
                              b_pad, max_chunks, _interpret())
         base2 = jnp.concatenate(
             [base, (binning.total_padded // K).reshape(1)])
-        (acc,) = trans(base2, binning.tile_ranges.T, feat)
+        (acc,) = trans(base2, binning.tile_ranges, feat)
         # scatter-based reduction here, not _segment_reduce_by_src: the
         # transmittance accumulators are all-positive, so a global-prefix
         # difference loses ~eps * (running sum) — too coarse for the
