@@ -91,6 +91,11 @@ def padded_size(budget: int, width: int, height: int, tile_rows=None) -> int:
     return -(-size // group) * group
 
 
+def _use_packed_key(num_tiles: int, p: int) -> bool:
+    """True when (tile, gauss) packs injectively into one u32 key."""
+    return (num_tiles + 1) * (p + 1) <= 1 << 32
+
+
 def depth_key(depths):
     """f32 depth -> monotone int32 key (positive depths only, which the
     frustum cull guarantees: z > 0.2)."""
@@ -296,7 +301,7 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
     # 32 bits (every practical single-chip config) the two columns
     # pack into ONE u32 key — sort cost scales with total column
     # count, so this nearly halves the binning sort.
-    if (num_tiles + 1) * (p + 1) <= 1 << 32:
+    if _use_packed_key(num_tiles, p):
         pp1 = jnp.uint32(p + 1)
         key = (tile.astype(jnp.uint32) * pp1
                + jnp.where(in_range, gauss_c, p).astype(jnp.uint32))
