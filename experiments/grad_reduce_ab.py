@@ -1,6 +1,5 @@
 #!/usr/bin/env python
-"""A/B evidence for --grad_reduce bf16x2 (VERDICT round 1, item 3 of
-PROFILE.md's sort-floor analysis).
+"""A/B evidence for --grad_reduce bf16x2.
 
 The per-Gaussian gradient reduction sort is the largest single device
 cost of the train step (PROFILE.md); packing gradient column pairs as
@@ -16,6 +15,7 @@ Run:  python experiments/grad_reduce_ab.py [iters]
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import math
 import os
@@ -37,8 +37,7 @@ def main():
     from reduced3dgs_tpu.models import gaussians as G
     from reduced3dgs_tpu.ops.losses import psnr
     from reduced3dgs_tpu.renderer import render
-    from reduced3dgs_tpu.train import adam
-    from reduced3dgs_tpu.train.trainer import Trainer, TrainState
+    from reduced3dgs_tpu.train.trainer import Trainer
 
     w = h = 256
     budget = 1 << 19
@@ -64,8 +63,6 @@ def main():
         width=w, height=h, uid=i)
         for i, a in enumerate(np.linspace(0, 2 * math.pi, 14,
                                           endpoint=False))]
-    test_cams = cams[::7]
-    train_cams = [c for c in cams if c not in test_cams]
     bg = jnp.zeros(3)
 
     @jax.jit
@@ -76,23 +73,26 @@ def main():
             jnp.asarray(opac_gt), jnp.asarray(deg_gt), cp, bg,
             width=w, height=h, instance_budget=budget,
             backend="pallas").color
-
-    gts = {c.uid: gt_render(c.params()) for c in cams}
+    for c in cams:
+        c.image = np.clip(np.asarray(gt_render(c.params())), 0, 1)
+    test_cams = cams[::7]
+    train_cams = [c for c in cams if c not in test_cams]
 
     # --- part 1: one-step gradient relative error ----------------------
     n0 = 20000
     pool = G.create_from_pcd(
         rng.uniform(-1.2, 1.2, (n0, 3)).astype(np.float32),
         rng.uniform(0.2, 0.8, (n0, 3)).astype(np.float32),
-        capacity=1 << 15 if n0 <= (1 << 15) else 1 << 17)
+        capacity=1 << 15)
     cp0 = train_cams[0].params()
-    gt0 = gts[train_cams[0].uid]
+    gt0 = jnp.asarray(train_cams[0].image)
 
     def loss_fn(params, mode):
+        feats = jnp.concatenate(
+            [params.features_dc, params.features_rest], axis=1)
         out = render(
-            params["xyz"], params["features"],
-            params["scaling"], params["rotation"],
-            params["opacity"][..., 0], pool.degrees, cp0, bg,
+            params.xyz, feats, params.scaling, params.rotation,
+            params.opacity[:, 0], pool.degrees, cp0, bg,
             width=w, height=h, instance_budget=budget,
             backend="pallas", grad_reduce=mode)
         return jnp.abs(out.color - gt0).mean()
@@ -100,47 +100,42 @@ def main():
     g_f32 = jax.jit(jax.grad(lambda p: loss_fn(p, "f32")))(pool.params)
     g_b16 = jax.jit(jax.grad(lambda p: loss_fn(p, "bf16x2")))(pool.params)
     errs = {}
-    for k in g_f32:
-        a = np.asarray(g_f32[k]).ravel()
-        b = np.asarray(g_b16[k]).ravel()
+    for k in g_f32._fields:
+        a = np.asarray(getattr(g_f32, k)).ravel()
+        b = np.asarray(getattr(g_b16, k)).ravel()
         denom = float(np.linalg.norm(a))
         errs[k] = float(np.linalg.norm(b - a) / denom) if denom else 0.0
 
     # --- part 2: short training A/B ------------------------------------
     results = {}
     for mode in ("f32", "bf16x2"):
-        cfg = OptimizationParams(
+        cfg = dataclasses.replace(
+            OptimizationParams(),
             iterations=iters,
             densify_from_iter=100, densification_interval=100,
             densify_until_iter=max(iters - 100, 150),
             opacity_reset_interval=10 ** 9,
-            grad_reduce=mode,
         )
         pool_m = G.create_from_pcd(
             rng.uniform(-1.2, 1.2, (4000, 3)).astype(np.float32),
             rng.uniform(0.2, 0.8, (4000, 3)).astype(np.float32),
             capacity=1 << 15)
-        tr = Trainer(
-            TrainState(pool_m, adam.init(pool_m.params),
-                       jax.random.PRNGKey(1)),
-            cfg, width=w, height=h, instance_budget=budget,
-            spatial_lr_scale=1.0)
-        order = rng.permutation(
-            np.arange(len(train_cams)).repeat(
-                (iters // len(train_cams)) + 1))
+        tr = Trainer(pool_m, cfg, train_cams, spatial_lr_scale=1.0,
+                     background=bg, backend="pallas",
+                     initial_budget=budget, seed=1, grad_reduce=mode)
+        tr.extent = 3.2
         for it in range(1, iters + 1):
-            cam = train_cams[order[it - 1]]
-            tr.step(it, cam.params(), gts[cam.uid], bg)
+            tr.step(it)
         ps = []
+        pl = tr.state.pool
         for c in test_cams:
-            img = jax.jit(
-                lambda prm, cpp: render(
-                    prm["xyz"], prm["features"], prm["scaling"],
-                    prm["rotation"], prm["opacity"][..., 0],
-                    tr.state.pool.degrees, cpp, bg, width=w, height=h,
-                    instance_budget=budget, backend="pallas").color
-            )(tr.state.pool.params, c.params())
-            ps.append(float(psnr(img, gts[c.uid])))
+            img = render(
+                pl.params.xyz, pl.features(), pl.params.scaling,
+                pl.params.rotation, pl.params.opacity[:, 0], pl.degrees,
+                c.params(), bg, width=w, height=h,
+                instance_budget=budget, backend="pallas").color
+            ps.append(float(psnr(jnp.clip(img, 0, 1),
+                                 jnp.asarray(c.image))))
         results[mode] = sum(ps) / len(ps)
 
     out = {

@@ -825,26 +825,6 @@ def _build_relayout(chunks, interpret):
     )
 
 
-def _pin_kernel(x_ref, o_ref):
-    o_ref[...] = x_ref[...]
-
-
-@functools.cache
-def _build_pin(rows, interpret):
-    """Identity copy that pins a (P, 16) f32 array to the canonical
-    row-major layout (Pallas custom-call operands/results are always
-    row-major).  ~2 P*16 f32 HBM passes, ~0.1 ms at P=512k."""
-    bs = min(rows, 4096)
-    return pl.pallas_call(
-        _pin_kernel,
-        grid=(pl.cdiv(rows, bs),),
-        in_specs=[pl.BlockSpec((bs, FEAT_ROWS), lambda i: (i, 0))],
-        out_specs=pl.BlockSpec((bs, FEAT_ROWS), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((rows, FEAT_ROWS), jnp.float32),
-        interpret=interpret,
-    )
-
-
 def _pack_features(means2d, conic, opacity, color, binning: BinningOut):
     """Gather aligned instances into a chunk-major (B_pad/K, 16, K) array.
 
@@ -866,14 +846,12 @@ def _pack_features(means2d, conic, opacity, color, binning: BinningOut):
         axis=1,
     )[binning.prim_order]  # (P, 16), rows in depth-rank order
     b_pad = binning.gauss_aligned.shape[0]
-    # Pin the table row-major before the row gather: XLA's layout
-    # assignment otherwise prefers a feature-major table (it fuses
-    # nicer with the column concatenate above), which makes the
-    # B-sized gather write strided and adds a relayout copy —
-    # measured 33 ms instead of ~9 ms at 1080p.  A Pallas identity
-    # forces the canonical row-major layout on both sides.
-    per_gaussian = _build_pin(per_gaussian.shape[0], _interpret())(
-        per_gaussian)
+    # Measured gather economics (microbench, v5e): XLA's big-gather
+    # emitter always uses a feature-major ({0,1}) table at this size —
+    # layout constraints are satisfied with copies, not by changing the
+    # gather — and runs at ~6 ns/row with the table VMEM-resident vs
+    # ~22 ns/row from HBM.  Keeping the table small (P x16 f32) is what
+    # matters; the row-major pin experiments were a wash.
     feat = per_gaussian[binning.gauss_id()]  # (B_pad, 16) row gather
     feat3 = _build_relayout(b_pad // K, _interpret())(
         feat.reshape(b_pad // K, K, FEAT_ROWS))
