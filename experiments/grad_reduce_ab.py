@@ -125,7 +125,11 @@ def main():
                      initial_budget=budget, seed=1, grad_reduce=mode)
         tr.extent = 3.2
         for it in range(1, iters + 1):
-            tr.step(it)
+            m = tr.step(it)
+            if it % max(iters // 8, 1) == 0:
+                print(f"[{mode}] iter {it}: loss "
+                      f"{float(m['loss']):.4f} pts {int(tr.state.pool.num_alive())}",
+                      flush=True)
         ps = []
         pl = tr.state.pool
         for c in test_cams:
