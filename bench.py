@@ -78,7 +78,8 @@ def _measure(width, height, n, smin, smax, budget):
         def loss(xyz, feats, scales, rots, opac):
             out = render(xyz, feats, scales, rots, opac, degrees, cp, bg,
                          width=width, height=height, instance_budget=budget,
-                         backend="pallas")
+                         backend="pallas",
+                         grad_reduce="bf16x2")  # the training default
             return jnp.abs(out.color - target).mean(), out.num_rendered
         (l, nr), g = jax.value_and_grad(
             loss, argnums=(0, 1, 2, 3, 4), has_aux=True)(

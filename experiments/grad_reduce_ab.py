@@ -108,7 +108,9 @@ def main():
 
     # --- part 2: short training A/B ------------------------------------
     results = {}
-    for mode in ("f32", "bf16x2"):
+    for mode, seed in (("f32", 1), ("f32_s2", 2), ("bf16x2", 1),
+                       ("bf16x2_s2", 2)):
+        reduce_mode = mode.split("_")[0]
         cfg = dataclasses.replace(
             OptimizationParams(),
             iterations=iters,
@@ -122,13 +124,14 @@ def main():
             capacity=1 << 15)
         tr = Trainer(pool_m, cfg, train_cams, spatial_lr_scale=1.0,
                      background=bg, backend="pallas",
-                     initial_budget=budget, seed=1, grad_reduce=mode)
+                     initial_budget=budget, seed=seed,
+                     grad_reduce=reduce_mode)
         tr.extent = 3.2
         for it in range(1, iters + 1):
             m = tr.step(it)
             if it % max(iters // 8, 1) == 0:
                 print(f"[{mode}] iter {it}: loss "
-                      f"{float(m['loss']):.4f} pts {int(tr.state.pool.num_alive())}",
+                      f"{float(m['loss']):.4f} pts {int(tr.state.pool.num_alive)}",
                       flush=True)
         ps = []
         pl = tr.state.pool
@@ -137,7 +140,8 @@ def main():
                 pl.params.xyz, pl.features(), pl.params.scaling,
                 pl.params.rotation, pl.params.opacity[:, 0], pl.degrees,
                 c.params(), bg, width=w, height=h,
-                instance_budget=budget, backend="pallas").color
+                instance_budget=budget, backend="pallas",
+                alive_mask=pl.alive).color
             ps.append(float(psnr(jnp.clip(img, 0, 1),
                                  jnp.asarray(c.image))))
         results[mode] = sum(ps) / len(ps)
@@ -146,6 +150,7 @@ def main():
         "one_step_grad_rel_l2": errs,
         "test_psnr": results,
         "psnr_delta_db": results["bf16x2"] - results["f32"],
+        "seed_noise_db": abs(results["f32_s2"] - results["f32"]),
         "iters": iters,
     }
     print(json.dumps(out, indent=2))

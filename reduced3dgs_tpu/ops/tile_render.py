@@ -270,26 +270,27 @@ def _tile_info(t, grid_x, width, height):
     return cx, cy, pix_ok.astype(jnp.float32)
 
 
-def _zero_fill_tail(vbuf, out_hbm, sem, pend, c0, i_from, i_to):
+def _zero_fill_tail(vbuf, dst, sem, pend, c0, i_from, i_to):
     """Write zero chunks for chunk slots [c0+i_from, c0+i_to).
 
-    vbuf/sem are slot 0 of the double-buffered output path; a pending
-    slot-0 DMA is drained before the buffer is overwritten.  The zero
-    DMAs all read the same (unchanging) buffer, so they are issued
-    back-to-back and only the last one is awaited.
+    dst(j) is the (16, K) HBM destination window of chunk j.  vbuf/sem
+    are slot 0 of the double-buffered output path; a pending slot-0 DMA
+    is drained before the buffer is overwritten.  The zero DMAs all
+    read the same (unchanging) buffer, so they are issued back-to-back
+    and only the last one is awaited.
     """
 
     @pl.when(i_from < i_to)
     def _():
         @pl.when(pend[0] == 1)
         def _():
-            pltpu.make_async_copy(vbuf, out_hbm.at[c0], sem).wait()
+            pltpu.make_async_copy(vbuf, dst(c0), sem).wait()
 
         pend[0] = 0
         vbuf[...] = jnp.zeros((FEAT_ROWS, K), jnp.float32)
 
         def zbody(i, _):
-            dma = pltpu.make_async_copy(vbuf, out_hbm.at[c0 + i], sem)
+            dma = pltpu.make_async_copy(vbuf, dst(c0 + i), sem)
             dma.start()
             dma.wait()
             return 0
@@ -458,11 +459,23 @@ def _bwd_kernel(grid_x, width, height, max_chunks, num_tiles,
         sum_p dpower*dx^2 etc. expand into combinations of the quadratic
         moments, evaluated with ~25 cheap (1,K) ops — this replaces the
         six (256,K) products + column reductions AND the dx/dy arrays.
+
+    Gradients are written FEATURE-MAJOR ((16, B_pad), chunk j at lane
+    window [j*K, (j+1)*K)): the per-Gaussian reduction consumes whole
+    gradient rows, so this kills the per-feature slice+concat repack an
+    earlier chunk-major output needed.  base_ref[1] carries
+    total_padded//K so the unwritten tail past the last tile can be
+    zero-filled in-kernel (uninitialized HBM would poison the
+    reduction's triangular-matmul prefix sums).
     """
     base = base_ref[0]
+    total_chunks = base_ref[1]
     pend[0] = 0
     pend[1] = 0
     basis = _make_basis()
+
+    def dst(j):
+        return dfeat_hbm.at[:, pl.ds(j * K, K)]
 
     def pix_dma(t, slot):
         g1 = pltpu.make_async_copy(
@@ -559,7 +572,7 @@ def _bwd_kernel(grid_x, width, height, max_chunks, num_tiles,
 
             def out_dma(sl):
                 return pltpu.make_async_copy(
-                    dbuf.at[sl], dfeat_hbm.at[start // K + i], dsem.at[sl])
+                    dbuf.at[sl], dst(start // K + i), dsem.at[sl])
 
             @pl.when(pend[ds] == 1)
             def _():
@@ -594,17 +607,20 @@ def _bwd_kernel(grid_x, width, height, max_chunks, num_tiles,
         # Early exit leaves later slots of this tile's range unwritten;
         # their gradients are exactly zero (no contribution is possible
         # once every pixel is done) — zero-fill with DMA-only iterations.
-        _zero_fill_tail(dbuf.at[0], dfeat_hbm, dsem.at[0], pend,
+        _zero_fill_tail(dbuf.at[0], dst, dsem.at[0], pend,
                         start // K, i_stop, n_chunks)
         return 0
 
     jax.lax.fori_loop(0, num_tiles, tile_body, 0)
+    # the chunk space past the last tile's padded range is never walked
+    _zero_fill_tail(dbuf.at[0], dst, dsem.at[0], pend,
+                    0, total_chunks, max_chunks)
 
     def drain(sl):
         @pl.when(pend[sl] == 1)
         def _():
             pltpu.make_async_copy(
-                dbuf.at[sl], dfeat_hbm.at[0], dsem.at[sl]
+                dbuf.at[sl], dst(0), dsem.at[sl]
             ).wait()
 
     drain(0)
@@ -682,8 +698,8 @@ def _trans_kernel(grid_x, width, height, max_chunks, num_tiles,
         def _():
             dma_in(i_stop, jax.lax.rem(i_stop, 2)).wait()
 
-        _zero_fill_tail(abuf.at[0], acc_hbm, asem.at[0], pend,
-                        start // K, i_stop, n_chunks)
+        _zero_fill_tail(abuf.at[0], lambda j: acc_hbm.at[j], asem.at[0],
+                        pend, start // K, i_stop, n_chunks)
         return 0
 
     jax.lax.fori_loop(0, num_tiles, tile_body, 0)
@@ -759,8 +775,7 @@ def _build_bwd(num_tiles, grid_x, width, height, b_pad, max_chunks,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, 2)),
         ]),
-        out_shape=[jax.ShapeDtypeStruct((b_pad // K, FEAT_ROWS, K),
-                                        jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((FEAT_ROWS, b_pad), jnp.float32)],
         interpret=interpret,
     )
 
@@ -790,25 +805,17 @@ def _build_trans(num_tiles, grid_x, width, height, b_pad, max_chunks,
 # ---------------------------------------------------------------------------
 
 def _relayout_kernel(x_ref, o_ref):
-    """(G, K, 16) row-gathered features -> (G, 16, K) chunk-major.
+    """(16, G*K) feature-major slab -> (G, 16, K) chunk-major, pure copy.
 
-    XLA's library transpose for this minor-dim swap runs at ~25 GB/s on
-    v5e (the (B,16) source wastes 112 of every 128 lanes, so it reads 8x
-    the logical bytes AND shuffles sublanes); doing it as G identity
-    matmuls on the MXU inside one streaming Pallas pass measures ~4x
-    faster end-to-end.  Transpose-by-identity is exact: HIGHEST f32
-    emulation represents each f32 operand as three bf16 terms (24
-    mantissa bits), and every output element is a single 1.0*x product
-    accumulated in f32.
+    XLA's big-gather emitter naturally emits a feature-major ({0,1})
+    output at B >= ~2M; bytewise that IS a row-major (16, B) array, so
+    the transpose into it is a free relabel and each chunk-major block
+    is a plain (16, K) window copy — no MXU pass, no lane-padding waste
+    (an earlier identity-matmul transpose ran from the (B,16) row-major
+    form instead and cost ~2.2 ms + a 2 ms XLA layout copy at 720p).
     """
-    eye = (jax.lax.broadcasted_iota(jnp.int32, (FEAT_ROWS, FEAT_ROWS), 0)
-           == jax.lax.broadcasted_iota(
-               jnp.int32, (FEAT_ROWS, FEAT_ROWS), 1)).astype(jnp.float32)
     for g in range(CHUNK_GROUP):
-        o_ref[g] = jax.lax.dot_general(
-            eye, x_ref[g], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        o_ref[g] = x_ref[:, g * K:(g + 1) * K]
 
 
 @functools.cache
@@ -816,8 +823,8 @@ def _build_relayout(chunks, interpret):
     return pl.pallas_call(
         _relayout_kernel,
         grid=(chunks // CHUNK_GROUP,),
-        in_specs=[pl.BlockSpec((CHUNK_GROUP, K, FEAT_ROWS),
-                               lambda i: (i, 0, 0))],
+        in_specs=[pl.BlockSpec((FEAT_ROWS, CHUNK_GROUP * K),
+                               lambda i: (0, i))],
         out_specs=pl.BlockSpec((CHUNK_GROUP, FEAT_ROWS, K),
                                lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((chunks, FEAT_ROWS, K), jnp.float32),
@@ -853,8 +860,10 @@ def _pack_features(means2d, conic, opacity, color, binning: BinningOut):
     # ~22 ns/row from HBM.  Keeping the table small (P x16 f32) is what
     # matters; the row-major pin experiments were a wash.
     feat = per_gaussian[binning.gauss_id()]  # (B_pad, 16) row gather
-    feat3 = _build_relayout(b_pad // K, _interpret())(
-        feat.reshape(b_pad // K, K, FEAT_ROWS))
+    # .T is a free relabel when the gather emits feature-major (its
+    # preference at this size); otherwise XLA inserts one copy — never
+    # worse than the old row-major path.
+    feat3 = _build_relayout(b_pad // K, _interpret())(feat.T)
     return feat3, b_pad
 
 
@@ -1029,20 +1038,20 @@ def _core_bwd(width, height, num_rows, grad_reduce, res, g_packed):
     feat, binning, base, packed, num_p = res
     grid_x, _ = tile_grid(width, height)
     num_tiles = num_rows * grid_x
-    b_pad = binning.pad_mask.shape[0]
+    b_pad = binning.gauss_aligned.shape[0]
     max_chunks = pl.cdiv(b_pad, K)
     bwd = _build_bwd(num_tiles, grid_x, width, height, b_pad, max_chunks,
                      _interpret())
-    (dfeat,) = bwd(base, binning.tile_ranges, feat, g_packed, packed)
+    base2 = jnp.concatenate(
+        [base, (binning.total_padded // K).reshape(1)])
+    (dfeat,) = bwd(base2, binning.tile_ranges, feat, g_packed, packed)
 
-    # per-Gaussian reduction via sort-by-expand-position (only the 9
-    # gradient-carrying rows ride the sort).  Pad slots are zeroed: the
-    # unwritten tail past total_padded is uninitialized HBM, and the
-    # cumsum kernel's triangular matmuls would turn any NaN there into
-    # 0*NaN poison for valid lanes of the same 128-block.
-    cols = tuple(
-        jnp.where(binning.pad_mask, 0.0, dfeat[:, f, :].reshape(b_pad))
-        for f in range(9))
+    # dfeat is (16, B_pad) feature-major; rows 0..8 carry gradients.
+    # Every slot the tiles never blend (alignment slack, truncated
+    # instances, the tail past total_padded) is exactly zero: slack
+    # lanes fail the in-range mask so every moment is 0, and the kernel
+    # zero-fills early-exit tails and the unwalked tail chunk space.
+    cols = tuple(dfeat[f] for f in range(9))
     sums = _segment_reduce_by_src(cols, binning, grad_reduce)
     d_means2d = jnp.stack(sums[0:2], axis=1)
     d_conic = jnp.stack(sums[2:5], axis=1)
