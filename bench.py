@@ -91,24 +91,31 @@ def _measure(width, height, n, smin, smax, budget):
     # local runtime costs ~50 us), which would otherwise swamp the
     # device time being measured.  Each iteration is value-chained
     # through the previous loss (numerically a no-op at f32) so XLA
-    # cannot hoist the loop-invariant body.
+    # cannot hoist the loop-invariant body.  `salt` makes every call's
+    # argument contents unique: the tunnel has intermittently served a
+    # cached earlier result for a repeated (executable, args) pair,
+    # which reads as an impossibly instant timed run.
     @jax.jit
-    def run(n_iters, xyz, feats, scales, rots, opac):
+    def run(n_iters, salt, xyz, feats, scales, rots, opac):
         def body(_, carry):
             l_prev, nr, g = carry
             x2 = xyz + 1e-30 * l_prev
             return one_step(x2, feats, scales, rots, opac)
 
-        init = one_step(xyz, feats, scales, rots, opac)
+        init = one_step(xyz + 1e-30 * salt, feats, scales, rots, opac)
         return jax.lax.fori_loop(1, n_iters, body, init)
 
-    l, nr, g = run(1, *args)
+    l, nr, g = run(1, 1.0, *args)
     jax.block_until_ready(g)
     iters = 20
     t0 = time.perf_counter()
-    l, nr, g = run(iters, *args)
+    l, nr, g = run(iters, 2.0, *args)
     jax.block_until_ready(g)
     dt = time.perf_counter() - t0
+    # < 0.5 ms/step is below the HBM bandwidth floor of any config here
+    if dt < 0.0005 * iters:
+        raise RuntimeError(f"implausible timing {dt / iters * 1e3:.3f} "
+                           "ms/step: stale tunnel result suspected")
     return width * height * iters / dt, int(nr), dt / iters
 
 
