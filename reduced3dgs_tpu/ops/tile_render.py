@@ -24,15 +24,16 @@ Design (TPU-first, not a CUDA translation):
     exponent is a quadratic-basis matmul; colour accumulation is a
     (256,K)@(K,3) MXU matmul — the VPU keeps only the transcendentals
     and masking.
-  * All HBM buffers the kernels slice are CHUNK-MAJOR 3D arrays whose
-    leading axis is the DMA unit: instance features/gradients are
-    (B/K, 16, K) so each chunk is one contiguous 8 KB burst, per-pixel
-    tile data (colors, transmittance, cotangents) are (T, 8, 256)
-    blocks.  (Slicing a feature-major 2D array costs 16 strided 512 B
-    segments per chunk — measured at a few GB/s effective, it was the
-    bottleneck of the whole rasterizer.)  The minor dim stays 128-wide
-    for Mosaic; one small transpose per tile moves between pixel-major
-    compute vectors and the packed rows.
+  * Instance features and gradients are FEATURE-MAJOR (16, B_pad)
+    arrays — the natural output layout of the big feature gather and
+    the natural input layout of the per-Gaussian reduction — and each
+    chunk is the (16, K) lane window at [j*K, (j+1)*K), moved by ONE
+    in-kernel DMA of 16 strided 512 B segments that the double buffer
+    hides behind ~400 ns of per-chunk compute.  Per-pixel tile data
+    (colors, transmittance, cotangents) stay chunk-major (T, 8, 256)
+    blocks.  The minor dim stays 128-wide for Mosaic; one small
+    transpose per tile moves between pixel-major compute vectors and
+    the packed rows.
   * The binning layout starts every tile's range at a K-aligned offset
     (ops/binning.py), so a chunk window never crosses tiles.
   * Early exit: a carried per-pixel `done` mask (float32 — Mosaic cannot
@@ -339,7 +340,7 @@ def _fwd_kernel(grid_x, width, height, max_chunks, num_tiles,
 
     def dma(j, slot):
         return pltpu.make_async_copy(
-            feat_hbm.at[j], buf.at[slot], sem.at[slot])
+            feat_hbm.at[:, pl.ds(j * K, K)], buf.at[slot], sem.at[slot])
 
     t0 = next_nonempty(0)
     cx0, cy0, pok0 = coords(t0)
@@ -504,7 +505,8 @@ def _bwd_kernel(grid_x, width, height, max_chunks, num_tiles,
 
         def dma_in(i, slot):
             return pltpu.make_async_copy(
-                feat_hbm.at[start // K + i], buf.at[slot], sem.at[slot])
+                feat_hbm.at[:, pl.ds(start + i * K, K)],
+                buf.at[slot], sem.at[slot])
 
         @pl.when(n_chunks > 0)
         def _():
@@ -647,7 +649,8 @@ def _trans_kernel(grid_x, width, height, max_chunks, num_tiles,
 
         def dma_in(i, slot):
             return pltpu.make_async_copy(
-                feat_hbm.at[start // K + i], buf.at[slot], sem.at[slot])
+                feat_hbm.at[:, pl.ds(start + i * K, K)],
+                buf.at[slot], sem.at[slot])
 
         @pl.when(n_chunks > 0)
         def _():
@@ -804,36 +807,8 @@ def _build_trans(num_tiles, grid_x, width, height, b_pad, max_chunks,
 # packing / assembly helpers
 # ---------------------------------------------------------------------------
 
-def _relayout_kernel(x_ref, o_ref):
-    """(16, G*K) feature-major slab -> (G, 16, K) chunk-major, pure copy.
-
-    XLA's big-gather emitter naturally emits a feature-major ({0,1})
-    output at B >= ~2M; bytewise that IS a row-major (16, B) array, so
-    the transpose into it is a free relabel and each chunk-major block
-    is a plain (16, K) window copy — no MXU pass, no lane-padding waste
-    (an earlier identity-matmul transpose ran from the (B,16) row-major
-    form instead and cost ~2.2 ms + a 2 ms XLA layout copy at 720p).
-    """
-    for g in range(CHUNK_GROUP):
-        o_ref[g] = x_ref[:, g * K:(g + 1) * K]
-
-
-@functools.cache
-def _build_relayout(chunks, interpret):
-    return pl.pallas_call(
-        _relayout_kernel,
-        grid=(chunks // CHUNK_GROUP,),
-        in_specs=[pl.BlockSpec((FEAT_ROWS, CHUNK_GROUP * K),
-                               lambda i: (0, i))],
-        out_specs=pl.BlockSpec((CHUNK_GROUP, FEAT_ROWS, K),
-                               lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((chunks, FEAT_ROWS, K), jnp.float32),
-        interpret=interpret,
-    )
-
-
 def _pack_features(means2d, conic, opacity, color, binning: BinningOut):
-    """Gather aligned instances into a chunk-major (B_pad/K, 16, K) array.
+    """Gather aligned instances into a feature-major (16, B_pad) array.
 
     ONE contiguous row gather (gather cost on TPU is per descriptor, not
     per byte, so nine element-wise gathers would be ~20x slower).  The
@@ -841,11 +816,14 @@ def _pack_features(means2d, conic, opacity, color, binning: BinningOut):
     Padding slots pull primitive 0's row but sit outside every tile's
     [start, end) range, so the kernels' in-range mask discards them.
 
-    Chunk-major 3D layout: chunk j is ONE contiguous (16, K) 8 KB block,
-    so the kernels' per-chunk DMA is a single dense HBM burst — slicing
-    a feature-major (16, B_pad) array instead costs 16 strided 512 B
-    segments per chunk, which runs at a few GB/s and was the measured
-    bottleneck of the whole rasterizer.
+    Chunk j of the feature-major array is the (16, K) lane window at
+    [j*K, (j+1)*K) — an in-KERNEL DMA of 16 strided 512 B segments,
+    hidden behind ~400 ns of per-chunk compute by the double buffer.
+    (XLA-land slicing of this form was measured at a few GB/s and
+    motivated an intermediate chunk-major repack; issuing the strided
+    window from the DMA engine instead makes the repack pass, its
+    2 ms layout copy and the old identity-matmul transpose all
+    unnecessary.)
     """
     per_gaussian = jnp.concatenate(
         [means2d, conic, opacity[:, None], color,
@@ -862,9 +840,10 @@ def _pack_features(means2d, conic, opacity, color, binning: BinningOut):
     feat = per_gaussian[binning.gauss_id()]  # (B_pad, 16) row gather
     # .T is a free relabel when the gather emits feature-major (its
     # preference at this size); otherwise XLA inserts one copy — never
-    # worse than the old row-major path.
-    feat3 = _build_relayout(b_pad // K, _interpret())(feat.T)
-    return feat3, b_pad
+    # worse than the old chunk-major repack.  The kernels DMA (16, K)
+    # lane windows of this array directly (16 strided 512 B segments
+    # per chunk, hidden behind the double-buffered compute).
+    return feat.T, b_pad
 
 
 def _packed_to_images(packed, grid_x, grid_y, width, height):
