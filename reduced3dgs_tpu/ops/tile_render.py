@@ -60,7 +60,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from reduced3dgs_tpu.ops.binning import ALIGN, CHUNK_GROUP, BinningOut
+from reduced3dgs_tpu.ops.binning import ALIGN, BinningOut
 from reduced3dgs_tpu.ops.preprocess import TILE_X, TILE_Y, PreprocessOut, tile_grid
 
 # Instance chunk width (lanes per loop iteration) = binning alignment.
