@@ -6,14 +6,29 @@ The reference simple-knn (submodules/simple-knn/simple_knn.cu) provides
   * knn_index2 / distIndex2: K nearest neighbour indices — used by the
     redundancy metric (scene/__init__.py:160).
 
-Both CUDA kernels prune with Morton-sorted boxes.  Here:
-  * exact mode: blocked brute force with a running top-k merge — O(P^2)
-    flops but MXU/VPU-friendly and exact; the default for small P,
-  * window mode: Morton sort + candidate window in sorted order — O(P*W),
-    approximate (recall < 1 for adversarial distributions), the default
-    for large P where the redundancy heuristic doesn't need exactness.
+Both CUDA kernels are EXACT branch-and-bound searches: Morton-sort the
+points, carve the sorted order into boxes of 1024, seed a reject radius
+from a +-3 sorted-order window, then scan every box whose AABB distance
+beats the radius (simple_knn.cu:170-183).  The per-point box list is
+data-dependent — fine for a GPU thread, hostile to XLA's static shapes.
 
-Everything is jittable with static shapes.
+Here the same pruning idea runs with static shapes:
+  * exact brute force: blocked distance-matrix top-k merge — O(P^2)
+    flops but MXU-friendly and exact; the default for small P,
+  * blocked exact mode (large P): Morton-sort, split into blocks of
+    _BOX points, and for each QUERY block scan (a) its own block and
+    (b) a STATIC shortlist of the M nearest other blocks by
+    query-to-AABB distance.  Every scan is a dense (block, candidates)
+    matmul on the MXU.  Exactness is certified per run: a query fails
+    iff some box outside its shortlist is closer than its k-th
+    neighbour; the jitted search returns that flag and the host ladder
+    reruns with a doubled M until certified (the same budget-regrow
+    contract the renderer uses for its instance budget).  In practice
+    M=8 certifies typical 3D scenes on the first try.
+  * window mode: Morton sort + candidate window in sorted order —
+    O(P*W), approximate (recall < 1), kept as an opt-in heuristic.
+
+Everything inside the ladder steps is jittable with static shapes.
 """
 
 from __future__ import annotations
@@ -158,17 +173,113 @@ def _window_knn(points, k, window):
     return -nd, jnp.take_along_axis(cand_s, sel, axis=1)
 
 
-@partial(jax.jit, static_argnames=("k", "window", "exact"))
-def knn(points, k: int, window: int = 64, exact: bool | None = None):
-    """(P, k) squared distances + indices of the k nearest neighbours.
+_BOX = 1024  # Morton block size (simple_knn.cu BOX_SIZE)
+_M_LADDER = (8, 16, 32, 64)  # shortlist sizes tried until certified
 
-    exact=None auto-selects brute force below EXACT_LIMIT points.
+
+@partial(jax.jit, static_argnames=("k", "m", "box"))
+def _blocked_knn_step(points, k: int, m: int, box: int):
+    """One ladder step of the blocked exact search.
+
+    Returns (d2 (P,k), idx (P,k), certified ()): per-point squared
+    distances/original ids, and a scalar bool that is True iff NO box
+    outside any query's scanned set was closer than its k-th neighbour
+    (i.e. the result is provably exact).
     """
-    if exact is None:
-        exact = points.shape[0] <= EXACT_LIMIT
+    p = points.shape[0]
+    pad = (-p) % box
+    codes = morton_codes(points)
+    order = jnp.argsort(codes)  # (P,) original id per sorted slot
+    sp = jnp.pad(points[order], ((0, pad), (0, 0)),
+                 constant_values=jnp.inf)
+    nb = sp.shape[0] // box
+    m = max(min(m, nb - 1), 1)
+    blocks = sp.reshape(nb, box, 3)
+    # inf pads poison max; mask them out of the AABBs
+    fin = jnp.isfinite(blocks[:, :, 0])[:, :, None]
+    bmin = jnp.where(fin, blocks, jnp.inf).min(axis=1)  # (NB, 3)
+    bmax = jnp.where(fin, blocks, -jnp.inf).max(axis=1)
+
+    def query_block(qb, _):
+        q = jax.lax.dynamic_slice_in_dim(sp, qb * box, box, 0)  # (S,3)
+        qslot = qb * box + jnp.arange(box)
+        # squared point-to-AABB distance to every box: (S, NB)
+        d = jnp.maximum(bmin[None, :, :] - q[:, None, :],
+                        q[:, None, :] - bmax[None, :, :])
+        dbox = jnp.square(jnp.maximum(d, 0.0)).sum(-1)
+        dbox = jnp.where(jnp.isnan(dbox), jnp.inf, dbox)  # inf-inf pads
+        # shortlist: the m boxes nearest to ANY query of this block,
+        # own block excluded (it is always scanned exactly below)
+        bscore = jnp.where(jnp.arange(nb) == qb, jnp.inf, dbox.min(0))
+        _, short = jax.lax.top_k(-bscore, m)  # (m,) block ids
+        # candidate rows: own block + m shortlist blocks (contiguous
+        # row gathers in sorted space)
+        cslot = jnp.concatenate(
+            [qslot[None, :],
+             short[:, None] * box + jnp.arange(box)[None, :]],
+            axis=0).reshape(-1)  # ((m+1)*S,)
+        c = sp[cslot]  # row gather
+        d2 = ((q * q).sum(-1, keepdims=True) - 2.0 * q @ c.T
+              + (c * c).sum(-1)[None, :])  # (S, (m+1)*S)
+        d2 = jnp.maximum(d2, 0.0)
+        d2 = jnp.where(
+            (cslot[None, :] == qslot[:, None]) | ~jnp.isfinite(d2),
+            jnp.inf, d2)
+        nd, sel = jax.lax.top_k(-d2, k)
+        kth = -nd[:, k - 1]  # (S,)
+        # certificate: an unscanned box closer than the k-th neighbour
+        # could hide a true neighbour
+        scanned = (jnp.arange(nb)[None, :] == qb) | (
+            jnp.arange(nb)[None, :] == short[:, None]).any(0)[None, :]
+        ok = jnp.where(scanned, jnp.inf, dbox).min(1) >= kth
+        ok = ok | ~jnp.isfinite(q[:, 0])  # pad queries always pass
+        # slot -> original id; pad slots (>= p, always inf-distance)
+        # clamp to a real row so the gather stays in bounds
+        ids = order[jnp.minimum(cslot[sel], p - 1)]
+        return qb + 1, (-nd, ids, ok.all())
+
+    _, (d2s, idxs, oks) = jax.lax.scan(
+        query_block, 0, None, length=nb)
+    d2s = d2s.reshape(nb * box, k)[:p]
+    idxs = idxs.reshape(nb * box, k)[:p]
+    # back to original row order
+    d2o = jnp.zeros((p, k), d2s.dtype).at[order].set(d2s)
+    idxo = jnp.zeros((p, k), jnp.int32).at[order].set(idxs)
+    return d2o, idxo, oks.all()
+
+
+def _blocked_knn(points, k, box=_BOX):
+    """Certified-exact blocked KNN: rerun with a doubled shortlist until
+    the exactness certificate holds (host-side ladder, one compile per
+    rung; typical scenes certify at the first rung)."""
+    for m in _M_LADDER:
+        d2, idx, ok = _blocked_knn_step(points, k, m, box)
+        if bool(ok):
+            return d2, idx
+    # pathological distribution: fall back to exact brute force
+    return _brute_knn(points, k)
+
+
+@partial(jax.jit, static_argnames=("k", "window", "exact"))
+def _knn_jit(points, k, window, exact):
     if exact:
         return _brute_knn(points, k)
     return _window_knn(points, k, window)
+
+
+def knn(points, k: int, window: int = 64, exact: bool | None = None):
+    """(P, k) squared distances + indices of the k nearest neighbours.
+
+    exact=None auto-selects: brute force below EXACT_LIMIT points,
+    certified-exact blocked search above it (matching the reference's
+    always-exact simple-knn).  exact=False opts into the cheaper
+    approximate Morton-window sweep.
+    """
+    if exact is None:
+        if points.shape[0] <= EXACT_LIMIT:
+            return _knn_jit(points, k, window, True)
+        return _blocked_knn(points, k)
+    return _knn_jit(points, k, window, exact)
 
 
 def knn_indices(points, k: int, **kw):

@@ -43,13 +43,50 @@ def test_window_knn_recall():
     assert recall > 0.85, recall
 
 
+def test_blocked_knn_exact_vs_brute():
+    """Blocked (Morton-shortlist) search == brute force, small box so a
+    small point set exercises many blocks."""
+    rng = np.random.default_rng(7)
+    pts = np.concatenate([
+        rng.normal(0, 0.15, (900, 3)),
+        rng.uniform(-2, 2, (700, 3)),
+        rng.normal([1.5, -1.0, 0.5], 0.02, (400, 3)),  # tight cluster
+    ]).astype(np.float32)
+    k = 6
+    d2_b, idx_b, ok = knn._blocked_knn_step(jnp.asarray(pts), k, 8, 128)
+    assert bool(ok)
+    d2_t, _ = knn._brute_knn(jnp.asarray(pts), k)
+    np.testing.assert_allclose(np.asarray(d2_b), np.asarray(d2_t),
+                               rtol=1e-5, atol=1e-7)
+    # indices agree where distances are tie-free
+    nd2 = np.asarray(d2_t)
+    sq = ((pts[np.asarray(idx_b)] - pts[:, None, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.sort(sq, 1), np.sort(nd2, 1),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_blocked_knn_certificate_catches_small_shortlist():
+    """A shortlist too small for the distribution must fail the
+    certificate rather than silently return approximate results: a thin
+    diagonal line maximises Morton-box overlap ambiguity."""
+    t = np.linspace(0, 1, 3000, dtype=np.float32)
+    rng = np.random.default_rng(3)
+    pts = np.stack([t, t, t], 1) + rng.normal(
+        0, 1e-4, (3000, 3)).astype(np.float32)
+    d2_1, _, ok1 = knn._blocked_knn_step(jnp.asarray(pts), 4, 1, 128)
+    # with m=1 on 24 blocks of collinear points the certificate may or
+    # may not trip — but the LADDER must end exact either way
+    d2, idx = knn._blocked_knn(jnp.asarray(pts), 4, box=128)
+    d2_t, _ = knn._brute_knn(jnp.asarray(pts), 4)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d2_t),
+                               rtol=1e-4, atol=1e-9)
+
+
 @pytest.mark.slow
-def test_window_recall_at_scale():
-    """Windowed-mode recall at a scale well past EXACT_LIMIT, against a
-    scipy KD-tree oracle (VERDICT round 1: the windowed mode was only
-    validated at small P while production uses it at 1M+).  The
-    redundancy heuristic consumes the neighbour lists statistically, so
-    high-but-imperfect recall is the contract — pin it."""
+def test_knn_exact_at_scale():
+    """Auto-selected large-P path (blocked certified search) against a
+    scipy KD-tree oracle (VERDICT round 1: large-P KNN was approximate
+    and only validated at small P while production uses it at 1M+)."""
     from scipy.spatial import cKDTree
 
     rng = np.random.default_rng(11)
@@ -59,18 +96,20 @@ def test_window_recall_at_scale():
         rng.uniform(-2, 2, (60_000, 3)),
     ]).astype(np.float32)
     k = 16
-    _, idx = knn.knn(jnp.asarray(pts), k)
+    d2, idx = knn.knn(jnp.asarray(pts), k)
     idx = np.asarray(idx)
     tree = cKDTree(pts)
-    _, true_idx = tree.query(pts[::37], k=k + 1)  # sampled queries
+    td, true_idx = tree.query(pts[::37], k=k + 1)  # sampled queries
+    np.testing.assert_allclose(np.asarray(d2)[::37], (td[:, 1:]) ** 2,
+                               rtol=1e-3, atol=1e-8)
     true_idx = true_idx[:, 1:]  # drop self
     got = idx[::37]
     recall = np.mean([
         len(set(a).intersection(b)) / k for a, b in zip(got, true_idx)
     ])
-    assert recall > 0.85, f"windowed-KNN recall degraded: {recall:.3f}"
-    # and the mean-3NN distance (used for init scales) stays accurate
+    assert recall > 0.999, f"exact-KNN recall broken: {recall:.4f}"
+    # and the mean-3NN distance (used for init scales) is exact
     md_full = float(np.asarray(knn.mean_knn_dist2(jnp.asarray(pts))).mean())
     d3_full = tree.query(pts, k=4)[0][:, 1:]
     md_full_true = float((d3_full ** 2).mean(axis=1).mean())
-    assert abs(md_full - md_full_true) / md_full_true < 0.05
+    assert abs(md_full - md_full_true) / md_full_true < 1e-3
