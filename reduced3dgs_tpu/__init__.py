@@ -14,12 +14,22 @@ import os as _os
 
 # Persistent compilation cache: the sandboxed remote AOT compile service is
 # slow and occasionally flaky; caching compiled executables across
-# processes makes reruns instant.
-_os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    _os.path.join(_os.path.dirname(_os.path.dirname(
-        _os.path.abspath(__file__))), ".jax_cache"),
-)
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+# processes makes reruns instant.  NOTE: this jax build does NOT read the
+# JAX_COMPILATION_CACHE_DIR environment variable (optional_string_state
+# has no env hook), so the directory must be set through jax.config —
+# env-only configuration silently leaves the cache uninitialised.
+if not _os.environ.get("R3DGS_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    if _jax.config.jax_compilation_cache_dir is None:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.join(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__))), ".jax_cache"),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        # Cache even small entries: the tunneled AOT service's latency, not
+        # executable size, is what reruns pay for.
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 from reduced3dgs_tpu.cameras import Camera  # noqa: F401

@@ -113,10 +113,13 @@ def _brute_knn(points, k):
         return qstart + _QCHUNK, (best_d, best_i)
 
     _, (dists, idx) = jax.lax.scan(per_chunk, 0, None, length=nq // _QCHUNK)
-    return (
-        dists.reshape(nq, k)[:p],
-        idx.reshape(nq, k)[:p],
-    )
+    dists = dists.reshape(nq, k)[:p]
+    idx = idx.reshape(nq, k)[:p]
+    # Selection used the MXU-friendly expanded form |q|^2-2qc+|c|^2; the
+    # returned distances are recomputed by direct subtraction, which does
+    # not cancel when d2 << |q|^2 (tight clusters off-origin).
+    d2 = jnp.square(points[idx] - points[:, None, :]).sum(-1)
+    return jnp.where(jnp.isfinite(dists), d2, dists), idx
 
 
 # Orderings for the candidate sweep: (axis permutation, grid offset).
@@ -188,6 +191,12 @@ def _blocked_knn_step(points, k: int, m: int, box: int):
     """
     p = points.shape[0]
     pad = (-p) % box
+    if p <= box:
+        # nb < 2: no other blocks to shortlist — a top_k over an all-inf
+        # block score would select the query block itself and duplicate
+        # every candidate row.  Brute force IS the blocked search here.
+        d2, idx = _brute_knn(points, k)
+        return d2, idx, jnp.bool_(True)
     codes = morton_codes(points)
     order = jnp.argsort(codes)  # (P,) original id per sorted slot
     sp = jnp.pad(points[order], ((0, pad), (0, 0)),
@@ -226,7 +235,16 @@ def _blocked_knn_step(points, k: int, m: int, box: int):
             (cslot[None, :] == qslot[:, None]) | ~jnp.isfinite(d2),
             jnp.inf, d2)
         nd, sel = jax.lax.top_k(-d2, k)
-        kth = -nd[:, k - 1]  # (S,)
+        # Recompute the selected distances by DIRECT subtraction: the
+        # expanded form above loses precision to cancellation when
+        # d2 << |q|^2 (tight clusters off-origin), which would both
+        # corrupt the returned distances and make the certificate
+        # unsound/flappy (the kth bound must not under/overestimate).
+        csel = c[sel.reshape(-1)].reshape(box, k, 3)  # (S, k, 3)
+        d2sel = jnp.square(csel - q[:, None, :]).sum(-1)
+        d2sel = jnp.where(jnp.isfinite(-nd), d2sel, jnp.inf)
+        # kth bound: any k candidate distances upper-bound the true kth
+        kth = jnp.where(jnp.isfinite(d2sel), d2sel, -jnp.inf).max(1)  # (S,)
         # certificate: an unscanned box closer than the k-th neighbour
         # could hide a true neighbour
         scanned = (jnp.arange(nb)[None, :] == qb) | (
@@ -236,7 +254,7 @@ def _blocked_knn_step(points, k: int, m: int, box: int):
         # slot -> original id; pad slots (>= p, always inf-distance)
         # clamp to a real row so the gather stays in bounds
         ids = order[jnp.minimum(cslot[sel], p - 1)]
-        return qb + 1, (-nd, ids, ok.all())
+        return qb + 1, (d2sel, ids, ok.all())
 
     _, (d2s, idxs, oks) = jax.lax.scan(
         query_block, 0, None, length=nb)
@@ -256,7 +274,14 @@ def _blocked_knn(points, k, box=_BOX):
         d2, idx, ok = _blocked_knn_step(points, k, m, box)
         if bool(ok):
             return d2, idx
-    # pathological distribution: fall back to exact brute force
+    # pathological distribution: fall back to exact brute force.  Warn:
+    # O(P^2) at production scale (1M+ points) is a long silent stall.
+    import warnings
+
+    warnings.warn(
+        f"blocked KNN shortlist ladder {_M_LADDER} exhausted without an "
+        f"exactness certificate for {points.shape[0]} points; falling "
+        "back to O(P^2) brute force", RuntimeWarning, stacklevel=2)
     return _brute_knn(points, k)
 
 
