@@ -1,9 +1,9 @@
 """Headline benchmark: rasterizer fwd+bwd throughput, 1 chip.
 
 Prints one JSON line {"metric", "value", "unit", "vs_baseline"} per
-measured configuration, smallest first, each flushed as soon as it is
-measured (the driver records the tail even if the wall clock kills the
-process mid-run).  The LAST line is the headline 1080p number.
+measured configuration, headline (1080p) first, each flushed as soon as
+it is measured (the driver records the tail even if the wall clock
+kills the process mid-run).
 
 Metric: pixels/s/chip through a full differentiable render (forward +
 backward via the Pallas tile kernels + preprocess autodiff), the hot
@@ -35,16 +35,20 @@ import time
 REF_PIXELS_PER_S = 1.4e8
 
 # (width, height, primitives, splat scale range, instance budget, tag)
-# smallest/cheapest first so a wall-clock kill still leaves numbers.
+# HEADLINE (1080p) FIRST: if the wall clock kills the run mid-way, the
+# number that matters is already out (round 3 ran smallest-first and a
+# timeout left nothing).  Cold compiles now fit easily: host-side jit
+# constants cut lowering from ~4 min of tunnel readback to ~3 s, and
+# .jax_cache makes later runs compile-free.
 # Scales are tuned so the REFERENCE's square-rect binning would emit
 # ~2.5-3.1 instances/pixel (mid-training MipNeRF-360 depth complexity);
 # our exact tight-rect binning (ops/preprocess.py:binning_extents) bins
 # ~78% of that, and the budget is the {2^k, 3*2^(k-1)} ladder step the
 # trainer would settle on (75-96% utilised, never truncating).
 CONFIGS = [
-    (512, 512, 1 << 17, (0.008, 0.040), 3 << 18, "512p"),
-    (1280, 720, 1 << 19, (0.00392, 0.01715), 1 << 21, "720p"),
     (1920, 1080, 1 << 19, (0.00432, 0.0189), 1 << 22, "1080p"),
+    (1280, 720, 1 << 19, (0.00392, 0.01715), 1 << 21, "720p"),
+    (512, 512, 1 << 17, (0.008, 0.040), 3 << 18, "512p"),
 ]
 
 
@@ -64,15 +68,19 @@ def _measure(width, height, n, smin, smax, budget):
     scales = np.log(rng.uniform(smin, smax, (n, 3))).astype(np.float32)
     rots = rng.normal(0, 1, (n, 4)).astype(np.float32)
     opac = rng.uniform(-2, 3, n).astype(np.float32)
+    # Anything the jitted function CLOSES OVER must stay host-side
+    # (numpy): a closed-over jax.Array is embedded as an MLIR constant by
+    # READING IT BACK from the device, and the tunneled runtime serves
+    # that readback at ~minutes per MB — it was the dominant cost of a
+    # cold bench run (4+ of the 5.5 minutes at 512p).
     degrees = np.full(n, 3, np.int32)
 
     cam = Camera.look_at(eye=(0, 0, -3.6), target=(0, 0, 0), width=width,
                          height=height)
     cp = cam.params()
-    bg = jnp.zeros(3)
-    target = jnp.zeros((height, width, 3), jnp.float32)
+    bg = np.zeros(3, np.float32)
+    target = np.zeros((height, width, 3), np.float32)
     args = tuple(jnp.asarray(a) for a in (xyz, feats, scales, rots, opac))
-    degrees = jnp.asarray(degrees)
 
     def one_step(xyz, feats, scales, rots, opac):
         def loss(xyz, feats, scales, rots, opac):
@@ -105,11 +113,26 @@ def _measure(width, height, n, smin, smax, budget):
         init = one_step(xyz + 1e-30 * salt, feats, scales, rots, opac)
         return jax.lax.fori_loop(1, n_iters, body, init)
 
-    l, nr, g = run(1, 1.0, *args)
+    # AOT compile with retries: the remote compile service intermittently
+    # drops the connection mid-response; the persistent cache in
+    # .jax_cache makes a successful compile free on every later run.
+    lowered = run.lower(1, 1.0, *args)
+    last_err = None
+    for _ in range(3):
+        try:
+            compiled = lowered.compile()
+            break
+        except Exception as e:  # jax wraps the HTTP error opaquely
+            last_err = e
+            time.sleep(5)
+    else:
+        raise last_err
+
+    l, nr, g = compiled(1, 1.0, *args)
     jax.block_until_ready(g)
     iters = 20
     t0 = time.perf_counter()
-    l, nr, g = run(iters, 2.0, *args)
+    l, nr, g = compiled(iters, 2.0, *args)
     jax.block_until_ready(g)
     dt = time.perf_counter() - t0
     # < 0.5 ms/step is below the HBM bandwidth floor of any config here

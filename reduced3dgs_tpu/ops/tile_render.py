@@ -24,11 +24,11 @@ Design (TPU-first, not a CUDA translation):
     exponent is a quadratic-basis matmul; colour accumulation is a
     (256,K)@(K,3) MXU matmul — the VPU keeps only the transcendentals
     and masking.
-  * Instance features and gradients are FEATURE-MAJOR (16, B_pad)
+  * Instance features and gradients are FEATURE-MAJOR (9, B_pad)
     arrays — the natural output layout of the big feature gather and
     the natural input layout of the per-Gaussian reduction — and each
-    chunk is the (16, K) lane window at [j*K, (j+1)*K), moved by ONE
-    in-kernel DMA of 16 strided 512 B segments that the double buffer
+    chunk is the (9, K) lane window at [j*K, (j+1)*K), moved by ONE
+    in-kernel DMA of 9 strided 512 B segments that the double buffer
     hides behind ~400 ns of per-chunk compute.  Per-pixel tile data
     (colors, transmittance, cotangents) stay chunk-major (T, 8, 256)
     blocks.  The minor dim stays 128-wide for Mosaic; one small
@@ -72,7 +72,12 @@ from reduced3dgs_tpu.ops.preprocess import TILE_X, TILE_Y, PreprocessOut, tile_g
 K = ALIGN  # = 128
 K0 = 128  # scan block (one MXU tile side)
 NPIX = TILE_X * TILE_Y  # 256 pixels per tile (sublanes in compute)
-FEAT_ROWS = 16  # packed feature rows per instance
+# Packed feature rows per instance: exactly the 9 live values
+# [x, y, cxx, cxy, cyy, op, r, g, b] — round 3 carried 16 rows (7 of
+# them zero), which both pushed the (P, 16) f32 gather table past the
+# VMEM-residency knee at 1080p (33 MB; measured 1.8 -> 7 ns/row) and
+# moved 78% more bytes through every kernel DMA than the data required.
+FEAT_ROWS = 9
 PIX_ROWS = 8  # packed per-pixel rows: [r, g, b, T, 0, 0, 0, 0]
 ALPHA_CLAMP = 0.99
 ALPHA_MIN = 1.0 / 255.0
@@ -141,6 +146,8 @@ def _mm_xb(a, b, dims):
     """a @ b with `a` exactly bf16-representable: split b, 2 passes."""
     b_hi, b_lo = _bf16_split(b)
     return _mm1(a, b_hi, dims) + _mm1(a, b_lo, dims)
+
+
 
 
 def _mm_x3(a, b, dims):
@@ -303,7 +310,7 @@ def _zero_fill_tail(vbuf, dst, sem, pend, c0, i_from, i_to):
 # forward kernel: single grid step, fori_loop over tiles
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(grid_x, width, height, max_chunks, num_tiles,
+def _fwd_kernel(grid_x, width, height, max_chunks, num_tiles, fast,
                 base_ref, ranges_ref, feat_hbm, out_init_hbm, out_hbm,
                 buf, obuf, pend, sem, osem):
     """Streaming forward: one double-buffered DMA pipeline over the GLOBAL
@@ -367,7 +374,12 @@ def _fwd_kernel(grid_x, width, height, max_chunks, num_tiles,
         st = _chunk_state(buf[slot], basis, cx, cy, j * K, end_t,
                           t_carry, done)
         w = st["a_eff"] * st["t_exc"]  # (256, K)
-        acc = acc + _mm_x3(w, st["rgb"], ((1,), (1,)))
+        # f32 mode: 3-pass split matmul (~2e-6 relative, parity-grade).
+        # fast (bf16x2) mode: ONE bf16 pass — ~4e-3 relative on the
+        # image, the same rounding class the mode already accepts on
+        # its gradients (quality-neutral per the A/B in PROFILE.md).
+        mm_acc = _mm1 if fast else _mm_x3
+        acc = acc + mm_acc(w, st["rgb"], ((1,), (1,)))
         t_carry = st["t_out"]
         done = st["done"]
 
@@ -461,7 +473,7 @@ def _bwd_kernel(grid_x, width, height, max_chunks, num_tiles,
         moments, evaluated with ~25 cheap (1,K) ops — this replaces the
         six (256,K) products + column reductions AND the dx/dy arrays.
 
-    Gradients are written FEATURE-MAJOR ((16, B_pad), chunk j at lane
+    Gradients are written FEATURE-MAJOR ((9, B_pad), chunk j at lane
     window [j*K, (j+1)*K)): the per-Gaussian reduction consumes whole
     gradient rows, so this kills the per-feature slice+concat repack an
     earlier chunk-major output needed.  base_ref[1] carries
@@ -588,8 +600,9 @@ def _bwd_kernel(grid_x, width, height, max_chunks, num_tiles,
             dbuf[ds, 5:6, :] = jnp.where(op > 0.0, m1 / jnp.where(
                 op > 0.0, op, 1.0), 0.0)  # dop = colsum(g*dalpha)
             dbuf[ds, 6:9, :] = dcol
-            dbuf[ds, 9:FEAT_ROWS, :] = jnp.zeros(
-                (FEAT_ROWS - 9, K), jnp.float32)
+            if FEAT_ROWS > 9:
+                dbuf[ds, 9:FEAT_ROWS, :] = jnp.zeros(
+                    (FEAT_ROWS - 9, K), jnp.float32)
             out_dma(ds).start()
             pend[ds] = 1
             return i + 1, st["t_out"], incl[:, K - 1: K], st["done"]
@@ -739,9 +752,9 @@ def _grid_spec(num_inputs, num_outputs, scratch_shapes):
 
 @functools.cache
 def _build_fwd(num_tiles, grid_x, width, height, b_pad, max_chunks,
-               interpret):
+               interpret, fast=False):
     kernel = functools.partial(_fwd_kernel, grid_x, width, height,
-                               max_chunks, num_tiles)
+                               max_chunks, num_tiles, fast)
     return pl.pallas_call(
         kernel,
         grid_spec=_grid_spec(2, 1, [
@@ -808,7 +821,7 @@ def _build_trans(num_tiles, grid_x, width, height, b_pad, max_chunks,
 # ---------------------------------------------------------------------------
 
 def _pack_features(means2d, conic, opacity, color, binning: BinningOut):
-    """Gather aligned instances into a feature-major (16, B_pad) array.
+    """Gather aligned instances into a feature-major (9, B_pad) array.
 
     ONE contiguous row gather (gather cost on TPU is per descriptor, not
     per byte, so nine element-wise gathers would be ~20x slower).  The
@@ -816,8 +829,8 @@ def _pack_features(means2d, conic, opacity, color, binning: BinningOut):
     Padding slots pull primitive 0's row but sit outside every tile's
     [start, end) range, so the kernels' in-range mask discards them.
 
-    Chunk j of the feature-major array is the (16, K) lane window at
-    [j*K, (j+1)*K) — an in-KERNEL DMA of 16 strided 512 B segments,
+    Chunk j of the feature-major array is the (9, K) lane window at
+    [j*K, (j+1)*K) — an in-KERNEL DMA of 9 strided 512 B segments,
     hidden behind ~400 ns of per-chunk compute by the double buffer.
     (XLA-land slicing of this form was measured at a few GB/s and
     motivated an intermediate chunk-major repack; issuing the strided
@@ -825,23 +838,24 @@ def _pack_features(means2d, conic, opacity, color, binning: BinningOut):
     2 ms layout copy and the old identity-matmul transpose all
     unnecessary.)
     """
+    parts = [means2d, conic, opacity[:, None], color]
+    if FEAT_ROWS > 9:
+        parts.append(
+            jnp.zeros((means2d.shape[0], FEAT_ROWS - 9), means2d.dtype))
     per_gaussian = jnp.concatenate(
-        [means2d, conic, opacity[:, None], color,
-         jnp.zeros((means2d.shape[0], FEAT_ROWS - 9), means2d.dtype)],
-        axis=1,
-    )[binning.prim_order]  # (P, 16), rows in depth-rank order
+        parts, axis=1)[binning.prim_order]  # (P, 9), depth-rank order
     b_pad = binning.gauss_aligned.shape[0]
     # Measured gather economics (microbench, v5e): XLA's big-gather
     # emitter always uses a feature-major ({0,1}) table at this size —
     # layout constraints are satisfied with copies, not by changing the
     # gather — and runs at ~6 ns/row with the table VMEM-resident vs
-    # ~22 ns/row from HBM.  Keeping the table small (P x16 f32) is what
+    # ~22 ns/row from HBM.  Keeping the table small (P x9 f32) is what
     # matters; the row-major pin experiments were a wash.
-    feat = per_gaussian[binning.gauss_id()]  # (B_pad, 16) row gather
+    feat = per_gaussian[binning.gauss_id()]  # (B_pad, 9) row gather
     # .T is a free relabel when the gather emits feature-major (its
     # preference at this size); otherwise XLA inserts one copy — never
-    # worse than the old chunk-major repack.  The kernels DMA (16, K)
-    # lane windows of this array directly (16 strided 512 B segments
+    # worse than the old chunk-major repack.  The kernels DMA (9, K)
+    # lane windows of this array directly (9 strided 512 B segments
     # per chunk, hidden behind the double-buffered compute).
     return feat.T, b_pad
 
@@ -919,7 +933,7 @@ def _core_fwd(means2d, conic, opacity, color, binning, base, width, height,
     feat, b_pad = _pack_features(means2d, conic, opacity, color, binning)
     max_chunks = pl.cdiv(b_pad, K)
     fwd = _build_fwd(num_tiles, grid_x, width, height, b_pad, max_chunks,
-                     _interpret())
+                     _interpret(), fast=(grad_reduce == "bf16x2"))
     # empty-tile answer: color 0, T 1.  Built with a runtime dependency so
     # XLA cannot constant-fold it into a giant literal (at 1080p this is a
     # 67 MB array; folding it stalls the remote AOT compile).

@@ -140,43 +140,55 @@ def main():
                 *[c.params() for c in cams_f])
             budget = 1 << 19
 
-            def run_all(budget):
-                @partial(jax.jit, static_argnums=(1,))
-                def go(cps, budget):
-                    xyz0 = pool.params.xyz
+            # The pool leaves are passed as ARGUMENTS, not closed over:
+            # a closed-over device array is embedded in the MLIR module
+            # by reading it back from the device — minutes per MB
+            # through the sandbox's tunnel.  (`ragged` stays closed over:
+            # its blocks are host-side numpy from build_ragged and its
+            # band sizes are static.)
+            @partial(jax.jit, static_argnums=(3,))
+            def go(salt, pool_, cps, budget):
+                ragged_ = ragged
 
-                    def body(carry, cp):
-                        color_precomp = None
-                        feats = pool.features()
-                        if ragged is not None:
-                            color_precomp = eval_colors(
-                                ragged, pool.params.xyz, cp.campos)
-                            feats = jnp.zeros(
-                                (xyz0.shape[0], 1, 3), jnp.float32)
-                        out = render(
-                            xyz0 + 1e-30 * carry, feats,
-                            pool.params.scaling, pool.params.rotation,
-                            pool.params.opacity[:, 0], pool.degrees, cp,
-                            background, width=w, height=h,
-                            instance_budget=budget,
-                            alive_mask=pool.alive, backend=pipe.backend,
-                            color_precomp=color_precomp)
-                        return out.color.mean(), out.num_rendered
+                def body(carry, cp):
+                    color_precomp = None
+                    feats = pool_.features()
+                    if ragged_ is not None:
+                        color_precomp = eval_colors(
+                            ragged_, pool_.params.xyz, cp.campos)
+                        feats = jnp.zeros(
+                            (pool_.params.xyz.shape[0], 1, 3), jnp.float32)
+                    out = render(
+                        pool_.params.xyz + 1e-30 * carry, feats,
+                        pool_.params.scaling, pool_.params.rotation,
+                        pool_.params.opacity[:, 0], pool_.degrees, cp,
+                        background, width=w, height=h,
+                        instance_budget=budget,
+                        alive_mask=pool_.alive, backend=pipe.backend,
+                        color_precomp=color_precomp)
+                    return out.color.mean(), out.num_rendered
 
-                    return jax.lax.scan(body, jnp.float32(0.0), cps)
-
-                return go(cps, budget)
+                return jax.lax.scan(body, salt, cps)
 
             while True:
-                last, nrs = run_all(budget)  # compile + warmup pass
+                # compile + warmup pass
+                last, nrs = go(jnp.float32(0.0), pool, cps, budget)
                 jax.block_until_ready(last)
                 if int(jnp.max(nrs)) <= budget:
                     break
                 budget *= 2
+            # `salt` makes the timed call's arguments differ from the
+            # warmup's: the tunneled runtime has served a CACHED result
+            # for a repeated (executable, args) pair, which would read
+            # as an impossibly high FPS (same guard as bench.py).
             t0 = time.perf_counter()
-            last, _ = run_all(budget)
+            last, _ = go(jnp.float32(1e-6), pool, cps, budget)
             jax.block_until_ready(last)
             dt = time.perf_counter() - t0
+            if dt < 0.0002 * len(cams_f):
+                raise RuntimeError(
+                    f"implausible FPS timing {dt:.4f}s for {len(cams_f)} "
+                    "views: stale tunnel result suspected")
             fps_results[model] = float(len(cams_f) / dt)
             print(f"Model {model}: {fps_results[model]:.1f} FPS "
                   f"({len(cams_f)} views in one launch)")
