@@ -14,9 +14,18 @@ section 2.3:
       - rasterization is sharded by horizontal *tile-row strips*: each
         device bins + renders only its strip (the sequence-parallel
         analogue for a rasterizer — pixels are the long axis),
-  * parameters and optimizer state are replicated; gradients come back
-    via a single `psum` over both axes (the backward of all_gather is a
-    reduce-scatter, so per-strip/per-shard partials combine exactly once).
+  * two parameter layouts (static `param_shard` flag):
+      - replicated (default): params + Adam state replicated, gradients
+        come back via a single `psum` over both axes;
+      - sharded (`param_shard=True`, the designed scaling story of
+        SURVEY.md section 2.3): params, optimizer moments and every
+        capacity-sized pool leaf are SHARDED over the "tile" axis.  Each
+        member differentiates w.r.t. only its own primitive rows; the
+        backward of the preprocess `all_gather` IS the reduce-scatter of
+        the attribute gradients back to their owner shard, overlapped
+        with the rest of the backward by XLA's scheduler — no full-size
+        gradient ever materializes, and Adam runs on 1/ntile of the
+        state per device (a rasterizer-shaped ZeRO).
 
 Loss assembly avoids double counting: L1 decomposes per pixel and is
 summed from each strip; the 11x11 SSIM conv is band-parallel over the
@@ -43,6 +52,7 @@ from reduced3dgs_tpu.ops.losses import ssim_band_sum
 from reduced3dgs_tpu.ops.preprocess import CameraParams, tile_grid
 from reduced3dgs_tpu.ops.tile_render import TILE_Y, tile_render
 from reduced3dgs_tpu.train import adam
+from reduced3dgs_tpu.train import trainer as trainer_mod
 from reduced3dgs_tpu.train.trainer import TrainState, make_lr_tree
 
 
@@ -70,16 +80,24 @@ def stack_camera_params(cams) -> CameraParams:
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "width", "height", "budget", "opt_cfg",
-                     "spatial_lr_scale"),
+                     "spatial_lr_scale", "param_shard", "skip_update"),
 )
 def sharded_train_step(state: TrainState, cams: CameraParams, gts,
                        background, iteration, *, mesh: Mesh, width, height,
                        budget, opt_cfg: OptimizationParams,
-                       spatial_lr_scale: float):
+                       spatial_lr_scale: float, param_shard: bool = False,
+                       skip_update: bool = False):
     """One data+tile-parallel training iteration.
 
     cams: batched CameraParams with leading axis n_data; gts
-    (n_data, H, W, 3).  Returns (new_state, metrics).
+    (n_data, H, W, 3).  Returns (new_state, metrics), or
+    (new_state, metrics, grads) with skip_update=True (a surgery
+    iteration: the pending grads are replayed by the host after the
+    pool surgery, exactly like the single-chip Trainer).
+
+    param_shard=True expects every capacity-sized leaf of `state`
+    (params, Adam moments, degrees/alive/accumulators) laid out with
+    NamedSharding P("tile") on its leading axis — see shard_state().
     """
     pool, opt, key = state
     ndata = mesh.shape["data"]
@@ -98,12 +116,20 @@ def sharded_train_step(state: TrainState, cams: CameraParams, gts,
         cam = CameraParams(*[x[0] for x in cam_leaves],
                            width=width, height=height)
         gt = gt[0]  # (H, W, 3)
-        so = screen_offset[0]  # (C, 2)
+        so = screen_offset[0]  # (C, 2) replicated / (C/ntile, 2) sharded
 
         def loss_fn(params, so):
             # --- primitive-sharded preprocess (tp-style) -----------------
-            def shard_rows(x):
-                return jax.lax.dynamic_slice_in_dim(x, t_idx * cs, cs, 0)
+            # param_shard: `params` IS the local row shard already; the
+            # backward of this all_gather is the reduce-scatter that
+            # returns every attribute gradient to its owner shard.
+            if param_shard:
+                def shard_rows(x):
+                    return x
+            else:
+                def shard_rows(x):
+                    return jax.lax.dynamic_slice_in_dim(
+                        x, t_idx * cs, cs, 0)
 
             feats = jnp.concatenate(
                 [params.features_dc, params.features_rest], axis=1)
@@ -144,16 +170,29 @@ def sharded_train_step(state: TrainState, cams: CameraParams, gts,
             # gathered full image; the 11x11 SSIM conv is band-parallel
             # over the tile axis (each member computes its row band of
             # the ssim map, ops/losses.py:ssim_band_sum; the constant 1
-            # and the regularizers enter once via member 0)
+            # enters once via member 0)
             img = jax.lax.all_gather(strip, "tile", axis=0,
                                      tiled=True)[:height]
             band = -(-height // ntile)
             s_sum = ssim_band_sum(img, gt, t_idx * band, band)
             hw3f = float(height * width * 3)
             gated = lam * (-s_sum / hw3f)
-            vis = prep.radii > 0
-            nvis = jnp.maximum(vis.sum(), 1)
-            reg = jnp.float32(lam)  # the "1 -" of (1 - SSIM), once
+            if param_shard:
+                # every member owns a disjoint row shard: the visible
+                # count is global (stop_gradient: it is a denominator of
+                # integer origin, and differentiating through psum with
+                # check_vma=False mis-transposes), the |.| sums enter
+                # once per row via the natural over-members psum.
+                vis = prep_local.radii > 0
+                nvis = jnp.maximum(jax.lax.stop_gradient(
+                    jax.lax.psum(vis.sum(), "tile")), 1)
+                gate_rows = 1.0
+            else:
+                vis = prep.radii > 0
+                nvis = jnp.maximum(vis.sum(), 1)
+                # replicated rows: regularizers enter once via member 0
+                gate_rows = (t_idx == 0).astype(jnp.float32)
+            reg = jnp.float32(0.0)
             if opt_cfg.lambda_alpha_regul > 0:
                 op = jax.nn.sigmoid(params.opacity[:, 0])
                 reg += opt_cfg.lambda_alpha_regul * (
@@ -163,7 +202,8 @@ def sharded_train_step(state: TrainState, cams: CameraParams, gts,
                     jnp.where(vis[:, None, None],
                               jnp.abs(params.features_rest), 0.0).sum()
                     / (nvis * 45))
-            gated = (gated + jnp.where(t_idx == 0, reg, 0.0)) / ndata
+            const = jnp.where(t_idx == 0, jnp.float32(lam), 0.0)
+            gated = (gated + const + gate_rows * reg) / ndata
             # local contribution only — the cross-device psum happens on
             # the VALUE and on the GRADS outside the differentiated
             # function (differentiating through psum with check_vma=False
@@ -175,14 +215,25 @@ def sharded_train_step(state: TrainState, cams: CameraParams, gts,
             jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 params, so))
         loss = jax.lax.psum(loss_local, ("data", "tile"))
-        g_params = jax.lax.psum(g_params, ("data", "tile"))
-        g_so = jax.lax.psum(g_so, "tile")  # per-camera screen grads
+        if param_shard:
+            # grads already live on their owner shard (the all_gather
+            # transpose reduce-scattered them); only the camera-batch
+            # axis still needs combining.
+            g_params = jax.lax.psum(g_params, "data")
+            # g_so: per-(camera, owner-shard) screen grads, no psum needed
+            # per-member radii of OWN rows for densification stats
+            radii_out = jax.lax.dynamic_slice_in_dim(
+                radii, t_idx * cs, cs, 0)
+        else:
+            g_params = jax.lax.psum(g_params, ("data", "tile"))
+            g_so = jax.lax.psum(g_so, "tile")  # per-camera screen grads
+            radii_out = radii
         l1_mean = jax.lax.psum(l1_sum, ("data", "tile")) / (ndata * hw3)
         # overflow contract: the largest per-strip instance demand across
         # the whole mesh — the host grows `budget` past it and redoes the
         # step, mirroring the single-chip path (train/trainer.py)
         nr_max = jax.lax.pmax(num_rendered, ("data", "tile"))
-        return (loss[None], g_params, g_so[None], vis[None], radii[None],
+        return (loss[None], g_params, g_so[None], vis[None], radii_out[None],
                 l1_mean[None], nr_max[None])
 
     # width/height are static; only the 5 array fields cross shard_map
@@ -191,11 +242,18 @@ def sharded_train_step(state: TrainState, cams: CameraParams, gts,
     screen_offset = jnp.zeros((ndata, cap, 2), jnp.float32)
     repl = P()
     data_first = P("data")
+    if param_shard:
+        row_shard = P("tile")
+        in_specs = (row_shard, row_shard, row_shard, data_first,
+                    data_first, P("data", "tile"))
+        out_specs = (repl, row_shard, P("data", "tile"),
+                     P("data", "tile"), P("data", "tile"), repl, repl)
+    else:
+        in_specs = (repl, repl, repl, data_first, data_first, data_first)
+        out_specs = (repl, repl, data_first, data_first, data_first, repl,
+                     repl)
     out = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(repl, repl, repl, data_first, data_first, data_first),
-        out_specs=(repl, repl, data_first, data_first, data_first, repl,
-                   repl),
+        local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
     )(pool.params, pool.degrees, pool.alive,
       cam_leaves, gts, screen_offset)
@@ -215,36 +273,211 @@ def sharded_train_step(state: TrainState, cams: CameraParams, gts,
         ),
     )
 
-    xyz_lr = adam.expon_lr(
-        iteration.astype(jnp.float32),
-        opt_cfg.position_lr_init * spatial_lr_scale,
-        opt_cfg.position_lr_final * spatial_lr_scale,
-        lr_delay_mult=opt_cfg.position_lr_delay_mult,
-        max_steps=opt_cfg.position_lr_max_steps,
-    )
-    lr_tree = make_lr_tree(grads, opt_cfg, xyz_lr)
-    new_params, new_opt = adam.update(pool.params, grads, opt, lr_tree)
+    if skip_update:
+        new_params, new_opt = pool.params, opt
+    else:
+        xyz_lr = adam.expon_lr(
+            iteration.astype(jnp.float32),
+            opt_cfg.position_lr_init * spatial_lr_scale,
+            opt_cfg.position_lr_final * spatial_lr_scale,
+            lr_delay_mult=opt_cfg.position_lr_delay_mult,
+            max_steps=opt_cfg.position_lr_max_steps,
+        )
+        lr_tree = make_lr_tree(grads, opt_cfg, xyz_lr)
+        # param_shard: params/moments/grads all carry P("tile") row
+        # shardings, so this elementwise update partitions — each device
+        # steps 1/ntile of the optimizer state, no gradient or moment
+        # ever materializes at full size.
+        new_params, new_opt = adam.update(pool.params, grads, opt, lr_tree)
     pool = pool._replace(params=new_params)
     metrics = {"loss": loss, "l1": l1_mean[0], "num_alive": pool.num_alive,
                "num_rendered_max": nr_max[0]}
-    return TrainState(pool, new_opt, key), metrics
+    state = TrainState(pool, new_opt, key)
+    if skip_update:
+        return state, metrics, grads
+    return state, metrics
 
 
 def run_sharded_step_with_regrow(state, cams, gts, background, iteration, *,
                                  mesh, width, height, budget, opt_cfg,
-                                 spatial_lr_scale, growth=2):
+                                 spatial_lr_scale, growth=2,
+                                 param_shard=False, skip_update=False):
     """Host wrapper replicating the single-chip overflow contract
     (train/trainer.py): if any strip's true instance demand exceeded the
     static budget, double the budget (recompile at the next power) and
     redo the step on the pre-step state.  Returns
-    (state, metrics, budget)."""
+    (state, metrics, budget) (+ grads with skip_update=True)."""
     while True:
-        new_state, metrics = sharded_train_step(
+        out = sharded_train_step(
             state, cams, gts, background, iteration, mesh=mesh,
             width=width, height=height, budget=budget, opt_cfg=opt_cfg,
-            spatial_lr_scale=spatial_lr_scale)
+            spatial_lr_scale=spatial_lr_scale, param_shard=param_shard,
+            skip_update=skip_update)
+        new_state, metrics = out[0], out[1]
         needed = int(metrics["num_rendered_max"])
         if needed <= budget:
+            if skip_update:
+                return new_state, metrics, budget, out[2]
             return new_state, metrics, budget
         while budget < needed:
             budget *= growth
+
+
+# ---------------------------------------------------------------------------
+# state layout helpers + mesh trainer
+# ---------------------------------------------------------------------------
+
+def state_shardings(mesh: Mesh, state: TrainState,
+                    param_shard: bool = True):
+    """A TrainState-shaped pytree of NamedShardings: every leaf whose
+    leading axis is the pool capacity gets P("tile") (params, Adam
+    moments, degrees/alive/accumulators); scalars stay replicated."""
+    from jax.sharding import NamedSharding
+
+    cap = state.pool.capacity
+    repl = NamedSharding(mesh, P())
+    row = NamedSharding(mesh, P("tile")) if param_shard else repl
+
+    def pick(x):
+        arr = jnp.asarray(x)
+        if arr.ndim >= 1 and arr.shape[0] == cap:
+            return row
+        return repl
+
+    return jax.tree.map(pick, state)
+
+
+def shard_state(state: TrainState, mesh: Mesh,
+                param_shard: bool = True) -> TrainState:
+    """device_put the train state into the mesh layout (row-sharded
+    capacity leaves when param_shard, else fully replicated)."""
+    return jax.device_put(state, state_shardings(mesh, state, param_shard))
+
+
+class ShardedTrainer(trainer_mod.Trainer):
+    """Mesh-parallel Trainer: the single-chip Trainer's exact event
+    cadence (SH schedule, densify/prune/mercy/opacity-reset,
+    store_grads deferred step) driven over a ("data", "tile") mesh.
+
+    Plain iterations run `sharded_train_step` (data-parallel camera
+    batch x tile/primitive parallelism; param_shard=True additionally
+    shards params + Adam state over "tile" with reduce-scattered
+    gradients).  Surgery iterations run the SAME module-level jitted
+    surgery steps as the single-chip Trainer on the sharded state —
+    XLA/GSPMD partitions the capacity-sized masked writes and inserts
+    the (cheap, P-sized) collectives for the few global reductions
+    (top-k thresholds, alive counts); the state layout is re-pinned
+    after any surgery that rebuilt leaves.
+
+    With n_data=1 and the same seed, the training trace is numerically
+    equivalent to the single-chip Trainer (verified by
+    tests/test_sharded.py::test_sharded_trainer_surgery_parity).
+    """
+
+    def __init__(self, pool, opt_cfg, cameras, *, mesh: Mesh,
+                 param_shard: bool = True, **kw):
+        super().__init__(pool, opt_cfg, cameras, **kw)
+        self.mesh = mesh
+        self.param_shard = param_shard
+        self.n_data = mesh.shape["data"]
+        self.state = shard_state(self.state, mesh, param_shard)
+
+    def _repin(self):
+        """Re-apply the mesh layout after surgery rebuilt state leaves."""
+        self.state = shard_state(self.state, self.mesh, self.param_shard)
+
+    def step(self, iteration: int):
+        """One sharded training iteration (one camera per data group).
+
+        Mirrors Trainer.step's reference ordering exactly:
+        backward -> densify/prune/mercy surgery -> deferred
+        optimizer.step (train.py:116-155)."""
+        cfg = self.opt_cfg
+        self.iteration = iteration
+        if iteration % 1000 == 0:
+            self.state = self.state._replace(
+                pool=trainer_mod.one_up_sh_degree(
+                    self.state.pool, self.max_sh_degree))
+        will_densify, will_reset, will_prune_dead, will_mercy = (
+            self._events(iteration))
+        surgery = (will_densify or will_reset or will_prune_dead
+                   or will_mercy)
+        final = iteration >= cfg.iterations
+
+        cams = [self.next_camera() for _ in range(self.n_data)]
+        if cfg.random_background:
+            bg = jnp.asarray(self.rng.uniform(0.0, 1.0, 3), jnp.float32)
+        else:
+            bg = self.background
+        cps = stack_camera_params(cams)
+        gts = jnp.stack([jnp.asarray(c.image) for c in cams])
+        budget = max(self._budget_for(c.uid) for c in cams)
+        out = run_sharded_step_with_regrow(
+            self.state, cps, gts, bg, jnp.int32(iteration),
+            mesh=self.mesh, width=cams[0].width, height=cams[0].height,
+            budget=budget, opt_cfg=cfg,
+            spatial_lr_scale=self.spatial_lr_scale,
+            param_shard=self.param_shard,
+            skip_update=surgery or final)
+        self.state, metrics, new_budget = out[0], out[1], out[2]
+        pending = out[3] if len(out) > 3 else None
+        for c in cams:
+            if new_budget > self._budget_for(c.uid):
+                self._budget_for(c.uid, new_budget)
+
+        # surgery + deferred step: identical helpers to Trainer.step
+        if will_densify:
+            pending = self.maybe_grow_pool(pending)
+            self._repin()
+            if cfg.store_grads and pending is not None:
+                self.state, dstats, pending = trainer_mod.densify_step(
+                    self.state, jnp.float32(self.extent), pending,
+                    opt_cfg=cfg,
+                    use_size_threshold=iteration > cfg.opacity_reset_interval,
+                    with_grads=True)
+            else:
+                self.state, dstats = trainer_mod.densify_step(
+                    self.state, jnp.float32(self.extent), opt_cfg=cfg,
+                    use_size_threshold=iteration > cfg.opacity_reset_interval)
+                pending = None
+            self.stats.update({k: int(v) for k, v in dstats.items()})
+            self._repin()
+        if will_reset:
+            self.state = trainer_mod.opacity_reset_step(self.state)
+        if will_prune_dead:
+            self.state, n = trainer_mod.prune_dead_step(
+                self.state, jnp.float32(self.extent))
+            self.stats["n_points_pruned"] = int(n)
+            pending = None
+            self._repin()
+        if will_mercy:
+            self.scene.pool = self.state.pool
+            red, _ = self.scene.calculate_redundancy_metric(
+                pixel_scale=cfg.box_size)
+            self.state, mstats = trainer_mod.mercy_step(
+                self.state, red, lambda_mercy=cfg.lambda_mercy,
+                mercy_minimum=cfg.mercy_minimum,
+                mercy_type=cfg.mercy_type)
+            self.stats["n_points_mercied"] = int(
+                mstats["n_points_mercied"])
+            pending = None
+            self._repin()
+        if pending is not None and not final:
+            self.state = trainer_mod.apply_update_step(
+                self.state, pending, jnp.int32(iteration), opt_cfg=cfg,
+                spatial_lr_scale=self.spatial_lr_scale,
+                skip_opacity=will_reset)
+        if iteration in self.cull_sh_iterations:
+            from reduced3dgs_tpu.ops.sh_culling import cull_sh_bands
+
+            pool = cull_sh_bands(
+                self.state.pool, self.cameras,
+                threshold=cfg.cdist_threshold * np.sqrt(3) / 255.0,
+                std_threshold=cfg.std_threshold,
+                budget=max(self.budgets.values(),
+                           default=self.initial_budget),
+                backend=self.backend, max_sh_degree=self.max_sh_degree,
+                active_sh_degree=int(self.state.pool.active_sh_degree))
+            self.state = self.state._replace(pool=pool)
+            self._repin()
+        return metrics

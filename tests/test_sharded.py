@@ -122,6 +122,116 @@ def test_sharded_overflow_contract(cams):
                                   np.asarray(st_big.pool.params.xyz))
 
 
+def test_param_sharded_matches_single_chip(cams):
+    """param_shard=True: params + Adam state row-sharded over "tile",
+    gradients arrive via the all_gather-transpose reduce-scatter.  Must
+    match the single-chip step numerically AND keep the sharded layout."""
+    from reduced3dgs_tpu.parallel.sharded import shard_state
+
+    cfg = OptimizationParams(lambda_alpha_regul=0.001,
+                             lambda_sh_sparsity=0.1)
+    state = make_state()
+    cam = cams[0]
+    gt = jnp.asarray(cam.image)[None]
+    mesh = make_mesh(1, 4)
+    st_in = shard_state(state, mesh, param_shard=True)
+    st_sh, m_sh = sharded_train_step(
+        st_in, stack_camera_params([cam]), gt, jnp.zeros(3), jnp.int32(1),
+        mesh=mesh, width=W, height=H, budget=BUDGET, opt_cfg=cfg,
+        spatial_lr_scale=3.0, param_shard=True,
+    )
+    st_1, m_1 = train_step(
+        state, cam.params(), jnp.asarray(cam.image), jnp.zeros(3),
+        jnp.int32(1), width=W, height=H, budget=BUDGET, backend="pallas",
+        opt_cfg=cfg, spatial_lr_scale=3.0,
+    )
+    np.testing.assert_allclose(float(m_sh["loss"]), float(m_1["loss"]),
+                               rtol=1e-5)
+    for name in ("xyz", "scaling", "opacity", "features_dc",
+                 "features_rest", "rotation"):
+        a = np.asarray(getattr(st_sh.pool.params, name))
+        b = np.asarray(getattr(st_1.pool.params, name))
+        np.testing.assert_allclose(a, b, atol=5e-6, rtol=1e-4,
+                                   err_msg=f"param mismatch: {name}")
+    np.testing.assert_allclose(
+        np.asarray(st_sh.pool.xyz_grad_accum),
+        np.asarray(st_1.pool.xyz_grad_accum), atol=1e-5, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(st_sh.pool.denom),
+                               np.asarray(st_1.pool.denom))
+    # the optimizer state stayed sharded (no silent full replication)
+    spec = st_sh.opt.mu.xyz.sharding.spec
+    assert "tile" in tuple(spec), spec
+
+
+def test_sharded_trainer_surgery_parity(cams):
+    """A ShardedTrainer run crossing densify + opacity-reset + mercy
+    events matches the single-chip Trainer's trace (VERDICT round 3
+    item 5: surgery was never exercised under the mesh)."""
+    from reduced3dgs_tpu.parallel.sharded import ShardedTrainer
+    from reduced3dgs_tpu.scene import Scene
+    from reduced3dgs_tpu.train.trainer import Trainer
+
+    class MiniScene:
+        def __init__(self, cams_):
+            self._cams = cams_
+            self.pool = None
+
+        def get_train_cameras(self, scale=1.0):
+            return self._cams
+
+        calculate_redundancy_metric = Scene.calculate_redundancy_metric
+
+    cfg = OptimizationParams(
+        densify_from_iter=1, densification_interval=4,
+        densify_until_iter=14, opacity_reset_interval=8,
+        # iterations stays large: fine_tune_start = iterations - 3000
+        # must exceed the mercy iteration (trainer.py fine-tune phase)
+        mercy_points=True, mercy_interval=3, iterations=5000,
+        densify_grad_threshold=1e-5,  # tiny scene: make clones happen
+    )
+
+    def build(cls, **kw):
+        rng = np.random.default_rng(5)
+        pool = G.create_from_pcd(
+            rng.uniform(-0.9, 0.9, (40, 3)).astype(np.float32),
+            rng.uniform(0.2, 0.8, (40, 3)).astype(np.float32),
+            capacity=256)
+        t = cls(pool, cfg, cams, spatial_lr_scale=3.0,
+                background=np.zeros(3), backend="pallas", seed=0,
+                initial_budget=BUDGET, scene=MiniScene(cams), **kw)
+        t.extent = 3.0
+        return t
+
+    t1 = build(Trainer)
+    mesh = make_mesh(1, 4)
+    t2 = build(ShardedTrainer, mesh=mesh, param_shard=True)
+
+    events_seen = set()
+    for it in range(1, 15):
+        m1 = t1.step(it)
+        m2 = t2.step(it)
+        ev = t1._events(it)
+        if ev[0]:
+            events_seen.add("densify")
+        if ev[1]:
+            events_seen.add("reset")
+        if ev[3]:
+            events_seen.add("mercy")
+        np.testing.assert_allclose(
+            float(m2["loss"]), float(m1["loss"]), rtol=2e-4,
+            err_msg=f"loss diverged at iteration {it}")
+    assert {"densify", "reset", "mercy"} <= events_seen, events_seen
+    assert np.array_equal(np.asarray(t1.state.pool.alive),
+                          np.asarray(t2.state.pool.alive))
+    for name in ("xyz", "scaling", "opacity", "features_dc"):
+        a = np.asarray(getattr(t2.state.pool.params, name))
+        b = np.asarray(getattr(t1.state.pool.params, name))
+        alive = np.asarray(t1.state.pool.alive)
+        np.testing.assert_allclose(a[alive], b[alive], atol=2e-4,
+                                   rtol=1e-3,
+                                   err_msg=f"param mismatch: {name}")
+
+
 def test_scaling_bench_runs():
     """The scaling harness runs on the virtual mesh and reports sane
     efficiency numbers."""
