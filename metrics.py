@@ -31,7 +31,7 @@ def read_images(renders_dir, gt_dir):
     return renders, gts, names
 
 
-def evaluate(model_paths):
+def evaluate(model_paths, lpips_weights=None):
     from reduced3dgs_tpu.platform import setup
     setup()
 
@@ -40,7 +40,14 @@ def evaluate(model_paths):
     from reduced3dgs_tpu.ops.losses import psnr, ssim
     from reduced3dgs_tpu.ops.lpips import lpips_fn
 
-    lpips = lpips_fn()  # None if VGG weights unavailable
+    # weights resolution: --lpips_weights > $R3DGS_LPIPS_WEIGHTS >
+    # <repo>/weights/lpips_vgg.npz; see docs in ops/lpips.py and the
+    # export_weights_from_torch converter for producing the .npz in an
+    # environment that has torchvision + the lpips pip package.
+    lpips = lpips_fn(lpips_weights)  # None if VGG weights unavailable
+    if lpips is None and lpips_weights:
+        raise FileNotFoundError(
+            f"--lpips_weights {lpips_weights!r} not found/loadable")
 
     for scene_dir in model_paths:
         print(f"Scene: {scene_dir}")
@@ -91,5 +98,8 @@ if __name__ == "__main__":
     parser = ArgumentParser(description="Training script parameters")
     parser.add_argument("--model_paths", "-m", required=True, nargs="+",
                         type=str)
+    parser.add_argument("--lpips_weights", type=str, default=None,
+                        help=".npz of VGG16+LPIPS weights (see "
+                             "reduced3dgs_tpu/ops/lpips.py)")
     args = parser.parse_args()
-    evaluate(args.model_paths)
+    evaluate(args.model_paths, lpips_weights=args.lpips_weights)
