@@ -122,3 +122,39 @@ def test_mercy_step_traced_args():
                             mercy_type="redundancy_opacity_opacity")
     assert int(st2.pool.num_alive) <= int(pool.num_alive)
     assert "n_points_mercied" in stats
+
+
+def test_masked_quantile_boundary_cases():
+    """n==1, n==2 (hi clamp), q==1.0, and the all-masked case — mercy
+    thresholds hang off these (VERDICT round 3 weak #8)."""
+    import torch
+
+    v = np.array([5.0, 2.0, 9.0, 7.0], np.float32)
+
+    # single survivor: every quantile is that value
+    mask1 = np.array([False, True, False, False])
+    for q in (0.0, 0.37, 0.5, 1.0):
+        got = float(densify.masked_quantile(
+            jnp.asarray(v), jnp.asarray(mask1), q))
+        assert got == 2.0, (q, got)
+    assert float(densify.masked_median(
+        jnp.asarray(v), jnp.asarray(mask1))) == 2.0
+
+    # two survivors incl. q=1.0 (the hi_ok clamp path: hi == n)
+    mask2 = np.array([True, False, False, True])
+    for q in (0.0, 0.25, 0.9, 1.0):
+        got = float(densify.masked_quantile(
+            jnp.asarray(v), jnp.asarray(mask2), q))
+        want = float(torch.quantile(torch.tensor(v[mask2]), q))
+        assert abs(got - want) < 1e-6, (q, got, want)
+    got = float(densify.masked_median(jnp.asarray(v), jnp.asarray(mask2)))
+    want = float(torch.median(torch.tensor(v[mask2])))
+    assert abs(got - want) < 1e-6  # lower middle element
+
+    # all masked out: a non-finite sentinel, never a silently-valid
+    # threshold (torch.quantile of an empty tensor raises; callers here
+    # only reach this with an empty pool, where any threshold is moot)
+    mask0 = np.zeros(4, bool)
+    got = float(densify.masked_quantile(
+        jnp.asarray(v), jnp.asarray(mask0), 0.5))
+    assert not np.isfinite(got)
