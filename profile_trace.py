@@ -35,12 +35,15 @@ def build_step(width, height, n, budget, smin=0.002, smax=0.010):
     scales = np.log(rng.uniform(smin, smax, (n, 3))).astype(np.float32)
     rots = rng.normal(0, 1, (n, 4)).astype(np.float32)
     opac = rng.uniform(-2, 3, n).astype(np.float32)
-    degrees = jnp.asarray(np.full(n, 3, np.int32))
+    # host-side (numpy) closure constants: a closed-over jax.Array is
+    # embedded into the MLIR module by reading it back through the slow
+    # tunnel (minutes per MB) — see bench.py
+    degrees = np.full(n, 3, np.int32)
     cam = Camera.look_at(eye=(0, 0, -3.6), target=(0, 0, 0), width=width,
                          height=height)
     cp = cam.params()
-    bg = jnp.zeros(3)
-    target = jnp.zeros((height, width, 3), jnp.float32)
+    bg = np.zeros(3, np.float32)
+    target = np.zeros((height, width, 3), np.float32)
     args = tuple(jnp.asarray(a) for a in (xyz, feats, scales, rots, opac))
 
     def one_step(xyz, feats, scales, rots, opac):
@@ -130,8 +133,37 @@ def main():
     if len(sys.argv) > 6:
         smin, smax = float(sys.argv[6]), float(sys.argv[7])
     run, args = build_step(width, height, n, budget, smin, smax)
+    # AOT compile with per-attempt timeouts: the remote compile service
+    # intermittently hangs; a fresh request usually succeeds, and the
+    # persistent .jax_cache makes later compiles instant.  (AOT also
+    # keys the cache identically to bench.py's AOT path — the jit
+    # __call__ path compiles under different options and misses.)
+    import concurrent.futures as cf
+    lowered = run.lower(1, 1.0, *args)
+    comp = None
+    with cf.ThreadPoolExecutor(max_workers=6) as ex:
+        for att in range(5):
+            fut = ex.submit(lowered.compile)
+            try:
+                comp = fut.result(timeout=420)
+                break
+            except cf.TimeoutError:
+                print(f"compile attempt {att} hung; retrying", flush=True)
+            except Exception as e:
+                print(f"compile attempt {att} failed: {str(e)[:120]}",
+                      flush=True)
+                time.sleep(5)
+    run = comp
     l, nr, g = run(1, 1.0, *args)
     jax.block_until_ready(g)
+    # the tunnel can serve an instant stale result for a fresh
+    # executable's early calls; burn salts until timings are physical
+    for salt in (3.0, 4.0, 5.0, 6.0):
+        t0 = time.perf_counter()
+        l, nr, g = run(1, salt, *args)
+        jax.block_until_ready(g)
+        if time.perf_counter() - t0 > 0.005:
+            break
     print(f"num_rendered={int(nr)} budget={budget}", flush=True)
 
     logdir = "/tmp/r3dgs_trace"

@@ -24,12 +24,13 @@ Design (TPU-first, not a CUDA translation):
     exponent is a quadratic-basis matmul; colour accumulation is a
     (256,K)@(K,3) MXU matmul — the VPU keeps only the transcendentals
     and masking.
-  * Instance features and gradients are FEATURE-MAJOR (9, B_pad)
-    arrays — the natural output layout of the big feature gather and
-    the natural input layout of the per-Gaussian reduction — and each
-    chunk is the (9, K) lane window at [j*K, (j+1)*K), moved by ONE
-    in-kernel DMA of 9 strided 512 B segments that the double buffer
-    hides behind ~400 ns of per-chunk compute.  Per-pixel tile data
+  * Instance features and gradients are FEATURE-MAJOR (16, B_pad)
+    arrays (9 live rows + sublane-alignment pad) — the natural output
+    layout of the big feature gather and the natural input layout of
+    the per-Gaussian reduction — and each chunk is the (16, K) lane
+    window at [j*K, (j+1)*K), moved by ONE in-kernel DMA of 16 strided
+    512 B segments that the double buffer hides behind ~400 ns of
+    per-chunk compute.  Per-pixel tile data
     (colors, transmittance, cotangents) stay chunk-major (T, 8, 256)
     blocks.  The minor dim stays 128-wide for Mosaic; one small
     transpose per tile moves between pixel-major compute vectors and
@@ -72,12 +73,17 @@ from reduced3dgs_tpu.ops.preprocess import TILE_X, TILE_Y, PreprocessOut, tile_g
 K = ALIGN  # = 128
 K0 = 128  # scan block (one MXU tile side)
 NPIX = TILE_X * TILE_Y  # 256 pixels per tile (sublanes in compute)
-# Packed feature rows per instance: exactly the 9 live values
-# [x, y, cxx, cxy, cyy, op, r, g, b] — round 3 carried 16 rows (7 of
-# them zero), which both pushed the (P, 16) f32 gather table past the
-# VMEM-residency knee at 1080p (33 MB; measured 1.8 -> 7 ns/row) and
-# moved 78% more bytes through every kernel DMA than the data required.
-FEAT_ROWS = 9
+# Packed feature rows per instance through the kernels.  Mosaic requires
+# DMA slice shapes sublane-aligned (multiples of 8): a (2, 9, K) double
+# buffer puts slot 1 at row 9 — unaligned — and "Mosaic failed to
+# compile TPU kernel: Slice shape along dimension 0 must be aligned to
+# tiling (8), but is 9".  So the kernels keep 16 rows; the GATHER TABLE
+# carries only the 9 live values [x, y, cxx, cxy, cyy, op, r, g, b]
+# (TABLE_ROWS) — at 1080p the (P, 16) f32 table (33 MB) sat past the
+# VMEM-residency knee (measured 1.8 -> 7 ns/row), and one cheap B-sized
+# pad after the gather restores the aligned kernel layout.
+FEAT_ROWS = 16
+TABLE_ROWS = 9
 PIX_ROWS = 8  # packed per-pixel rows: [r, g, b, T, 0, 0, 0, 0]
 ALPHA_CLAMP = 0.99
 ALPHA_MIN = 1.0 / 255.0
@@ -454,7 +460,7 @@ def _fwd_kernel(grid_x, width, height, max_chunks, num_tiles, fast,
 # backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(grid_x, width, height, max_chunks, num_tiles,
+def _bwd_kernel(grid_x, width, height, max_chunks, num_tiles, fast,
                 base_ref, ranges_ref, feat_hbm, gpix_hbm, spix_hbm,
                 dfeat_hbm, buf, dbuf, gbuf, sbuf, pend, sem, dsem, isem):
     """Backward tile walk.
@@ -473,7 +479,7 @@ def _bwd_kernel(grid_x, width, height, max_chunks, num_tiles,
         moments, evaluated with ~25 cheap (1,K) ops — this replaces the
         six (256,K) products + column reductions AND the dx/dy arrays.
 
-    Gradients are written FEATURE-MAJOR ((9, B_pad), chunk j at lane
+    Gradients are written FEATURE-MAJOR ((16, B_pad), chunk j at lane
     window [j*K, (j+1)*K)): the per-Gaussian reduction consumes whole
     gradient rows, so this kills the per-feature slice+concat repack an
     earlier chunk-major output needed.  base_ref[1] carries
@@ -571,7 +577,12 @@ def _bwd_kernel(grid_x, width, height, max_chunks, num_tiles,
             # the gradient.
             op = f[5:6, :]
             dpower = op * (st["g"] * dalpha)  # = op*g*dalpha
-            mom = _mm_xb(basis, dpower, ((0,), (0,)))  # (8, K) moments
+            # moments of a pure-gradient quantity: in fast (bf16x2)
+            # mode one bf16 pass suffices — the 4e-3 rounding class the
+            # mode already accepts on its reduction payload (same
+            # argument as dcol above); f32 mode keeps the 2-pass split.
+            mm_mom = _mm1 if fast else _mm_xb
+            mom = mm_mom(basis, dpower, ((0,), (0,)))  # (8, K) moments
             mxx, mxy, myy = mom[0:1, :], mom[1:2, :], mom[2:3, :]
             mx, my, m1 = mom[3:4, :], mom[4:5, :], mom[5:6, :]
             x, y = st["x"], st["y"]
@@ -776,9 +787,9 @@ def _build_fwd(num_tiles, grid_x, width, height, b_pad, max_chunks,
 
 @functools.cache
 def _build_bwd(num_tiles, grid_x, width, height, b_pad, max_chunks,
-               interpret):
+               interpret, fast=False):
     kernel = functools.partial(_bwd_kernel, grid_x, width, height,
-                               max_chunks, num_tiles)
+                               max_chunks, num_tiles, fast)
     return pl.pallas_call(
         kernel,
         grid_spec=_grid_spec(3, 1, [
@@ -821,7 +832,7 @@ def _build_trans(num_tiles, grid_x, width, height, b_pad, max_chunks,
 # ---------------------------------------------------------------------------
 
 def _pack_features(means2d, conic, opacity, color, binning: BinningOut):
-    """Gather aligned instances into a feature-major (9, B_pad) array.
+    """Gather aligned instances into a feature-major (16, B_pad) array.
 
     ONE contiguous row gather (gather cost on TPU is per descriptor, not
     per byte, so nine element-wise gathers would be ~20x slower).  The
@@ -829,8 +840,8 @@ def _pack_features(means2d, conic, opacity, color, binning: BinningOut):
     Padding slots pull primitive 0's row but sit outside every tile's
     [start, end) range, so the kernels' in-range mask discards them.
 
-    Chunk j of the feature-major array is the (9, K) lane window at
-    [j*K, (j+1)*K) — an in-KERNEL DMA of 9 strided 512 B segments,
+    Chunk j of the feature-major array is the (16, K) lane window at
+    [j*K, (j+1)*K) — an in-KERNEL DMA of 16 strided 512 B segments,
     hidden behind ~400 ns of per-chunk compute by the double buffer.
     (XLA-land slicing of this form was measured at a few GB/s and
     motivated an intermediate chunk-major repack; issuing the strided
@@ -838,12 +849,9 @@ def _pack_features(means2d, conic, opacity, color, binning: BinningOut):
     2 ms layout copy and the old identity-matmul transpose all
     unnecessary.)
     """
-    parts = [means2d, conic, opacity[:, None], color]
-    if FEAT_ROWS > 9:
-        parts.append(
-            jnp.zeros((means2d.shape[0], FEAT_ROWS - 9), means2d.dtype))
     per_gaussian = jnp.concatenate(
-        parts, axis=1)[binning.prim_order]  # (P, 9), depth-rank order
+        [means2d, conic, opacity[:, None], color],
+        axis=1)[binning.prim_order]  # (P, TABLE_ROWS), depth-rank order
     b_pad = binning.gauss_aligned.shape[0]
     # Measured gather economics (microbench, v5e): XLA's big-gather
     # emitter always uses a feature-major ({0,1}) table at this size —
@@ -851,13 +859,14 @@ def _pack_features(means2d, conic, opacity, color, binning: BinningOut):
     # gather — and runs at ~6 ns/row with the table VMEM-resident vs
     # ~22 ns/row from HBM.  Keeping the table small (P x9 f32) is what
     # matters; the row-major pin experiments were a wash.
-    feat = per_gaussian[binning.gauss_id()]  # (B_pad, 9) row gather
+    feat = per_gaussian[binning.gauss_id()]  # (B_pad, TABLE_ROWS) gather
     # .T is a free relabel when the gather emits feature-major (its
     # preference at this size); otherwise XLA inserts one copy — never
-    # worse than the old chunk-major repack.  The kernels DMA (9, K)
-    # lane windows of this array directly (9 strided 512 B segments
-    # per chunk, hidden behind the double-buffered compute).
-    return feat.T, b_pad
+    # worse than the old chunk-major repack.  The pad to FEAT_ROWS
+    # restores the sublane-aligned (16, K) chunk windows the kernels
+    # DMA (one bandwidth-bound B-sized copy, ~0.5 ms at 1080p — far
+    # cheaper than gathering 16-wide rows from a non-resident table).
+    return jnp.pad(feat.T, ((0, FEAT_ROWS - TABLE_ROWS), (0, 0))), b_pad
 
 
 def _packed_to_images(packed, grid_x, grid_y, width, height):
@@ -1034,7 +1043,7 @@ def _core_bwd(width, height, num_rows, grad_reduce, res, g_packed):
     b_pad = binning.gauss_aligned.shape[0]
     max_chunks = pl.cdiv(b_pad, K)
     bwd = _build_bwd(num_tiles, grid_x, width, height, b_pad, max_chunks,
-                     _interpret())
+                     _interpret(), fast=(grad_reduce == "bf16x2"))
     base2 = jnp.concatenate(
         [base, (binning.total_padded // K).reshape(1)])
     (dfeat,) = bwd(base2, binning.tile_ranges, feat, g_packed, packed)
