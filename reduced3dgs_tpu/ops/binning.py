@@ -114,16 +114,18 @@ def _scatter_deltas(mark_pos, values, budget):
     the column count minimal.
     """
     marked = mark_pos < budget
-    # previous-marked value per primitive (P-scale ffill, exclusive)
-    def comb(a, b):
-        fa, va = a
-        fb, vb = b
-        return fb | fa, jnp.where(fb, vb, va)
-
+    # previous-marked value per primitive (P-scale ffill, exclusive):
+    # cummax of marked indices + one gather per value column.  NOT an
+    # associative_scan with a custom ffill combiner — associative_scan
+    # unrolls a log-depth slice/concat network whose XLA graph explodes
+    # past ~2^22 rows (the remote compile hangs; bisected round 4), and
+    # production pools can exceed that many primitives.
+    p = marked.shape[0]
+    iota = jnp.arange(p, dtype=jnp.int32)
+    idx = jax.lax.cummax(jnp.where(marked, iota, -1), axis=0)
     outs = []
     for v in values:
-        _, filled = jax.lax.associative_scan(
-            comb, (marked, jnp.where(marked, v, 0)))
+        filled = jnp.where(idx >= 0, v[jnp.maximum(idx, 0)], 0)
         prev = jnp.concatenate(
             [jnp.zeros((1,), v.dtype), filled[:-1]])
         delta = jnp.where(marked, v - prev, 0)
@@ -249,8 +251,12 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
         budget)
     gauss_c = jnp.cumsum(dg) - 1  # 1-based back to 0-based rank
     rect_c = jnp.cumsum(dr)
-    start_c = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(dg != 0, slot, 0))
+    # cummax, NOT associative_scan(maximum): associative_scan unrolls a
+    # log-depth slice/concat network whose XLA graph explodes past ~2^22
+    # rows — the remote compile hangs indefinitely at the 1080p budget
+    # (bisected round 4); cummax lowers to the same well-behaved
+    # reduce-window path as cumsum.
+    start_c = jax.lax.cummax(jnp.where(dg != 0, slot, 0), axis=0)
 
     # rank within the primitive's rect -> tile coordinates, row-major
     # over the rect exactly like the nested loop in duplicateWithKeys
@@ -291,7 +297,7 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
         pad_start, n_extra)
     pmarkers = jnp.zeros((n_extra,), jnp.int32).at[pmark_pos].max(
         jnp.arange(num_tiles + 1, dtype=jnp.int32), mode="drop")
-    pad_tile = jax.lax.associative_scan(jnp.maximum, pmarkers)
+    pad_tile = jax.lax.cummax(pmarkers, axis=0)  # see start_c note
 
     # ONE unstable sort over B_pad on (tile, gauss).  gauss is
     # simultaneously the depth order (rank renumbering), the pad flag
