@@ -114,23 +114,28 @@ def _scatter_deltas(mark_pos, values, budget):
     the column count minimal.
     """
     marked = mark_pos < budget
-    # previous-marked value per primitive (P-scale ffill, exclusive):
-    # cummax of marked indices + one gather per value column.  NOT an
-    # associative_scan with a custom ffill combiner — associative_scan
-    # unrolls a log-depth slice/concat network whose XLA graph explodes
-    # past ~2^22 rows (the remote compile hangs; bisected round 4), and
-    # production pools can exceed that many primitives.
+    # Deltas between CONSECUTIVE MARKED values via one P-sized
+    # compaction sort: marked rows sort to the front in rank order
+    # (unique iota keys), so the previous-marked value is just the
+    # previous sorted row.  NOT an associative_scan with an ffill
+    # combiner — associative_scan unrolls a log-depth slice/concat
+    # network whose XLA graph explodes past ~2^22 rows (the remote
+    # compile hangs; bisected round 4); and NOT cummax+gather — P-row
+    # gathers cost ~8 ns/descriptor where a P-sort payload column costs
+    # ~0.1 ms.  Unmarked rows tie on the sentinel key and produce
+    # garbage deltas, but they carry mark_pos == budget and are dropped
+    # by the scatter.
     p = marked.shape[0]
     iota = jnp.arange(p, dtype=jnp.int32)
-    idx = jax.lax.cummax(jnp.where(marked, iota, -1), axis=0)
+    sort_key = jnp.where(marked, iota, p)
+    srt = jax.lax.sort((sort_key, mark_pos) + tuple(values),
+                       num_keys=1, is_stable=False)
+    pos_s = srt[1]
     outs = []
-    for v in values:
-        filled = jnp.where(idx >= 0, v[jnp.maximum(idx, 0)], 0)
-        prev = jnp.concatenate(
-            [jnp.zeros((1,), v.dtype), filled[:-1]])
-        delta = jnp.where(marked, v - prev, 0)
-        outs.append(jnp.zeros((budget,), jnp.int32).at[mark_pos].add(
-            delta, mode="drop"))
+    for v_s in srt[2:]:
+        prev = jnp.concatenate([jnp.zeros((1,), v_s.dtype), v_s[:-1]])
+        outs.append(jnp.zeros((budget,), jnp.int32).at[pos_s].add(
+            v_s - prev, mode="drop"))
     return outs
 
 
@@ -186,8 +191,12 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
         (depth_key(prep.depths), jnp.arange(p, dtype=jnp.int32),
          rpack0, counts0),
         num_keys=1, is_stable=True)
-    prim_inv = jnp.zeros((p,), jnp.int32).at[order].set(
-        jnp.arange(p, dtype=jnp.int32))
+    # inverse permutation by sorting (order, iota): a P-descriptor
+    # scatter costs ~8 ns/descriptor (3.7 ms at 2^19) where the s32
+    # sort costs ~0.35 ms
+    _, prim_inv = jax.lax.sort(
+        (order, jnp.arange(p, dtype=jnp.int32)), num_keys=1,
+        is_stable=False)
 
     rw_p = (rectpack & 1023) + 1
     x0 = rectpack >> 20
