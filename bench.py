@@ -128,17 +128,29 @@ def _measure(width, height, n, smin, smax, budget):
     else:
         raise last_err
 
+    # Tunnel synchronization quirk (diagnosed round 4): for the FIRST
+    # call after an executable is loaded, jax.block_until_ready returns
+    # without waiting for remote execution (measured 64 us/step "wall"
+    # for a 156 ms/step program); a host READBACK is what actually
+    # drains the remote queue.  So: warm up, force a scalar fetch, then
+    # time with a readback inside the timed region (~1 ms, amortized
+    # over the loop), still guarded against implausible timings.
     l, nr, g = compiled(1, 1.0, *args)
-    jax.block_until_ready(g)
+    float(l)  # drain the async remote queue
     iters = 20
-    t0 = time.perf_counter()
-    l, nr, g = compiled(iters, 2.0, *args)
-    jax.block_until_ready(g)
-    dt = time.perf_counter() - t0
-    # < 0.5 ms/step is below the HBM bandwidth floor of any config here
-    if dt < 0.0005 * iters:
+    dt = 0.0
+    for attempt in range(3):
+        t0 = time.perf_counter()
+        l, nr, g = compiled(iters, 2.0 + attempt, *args)
+        jax.block_until_ready(g)
+        float(l)
+        dt = time.perf_counter() - t0
+        if dt >= 0.0005 * iters:
+            break
+    else:
         raise RuntimeError(f"implausible timing {dt / iters * 1e3:.3f} "
-                           "ms/step: stale tunnel result suspected")
+                           "ms/step persisted across retries: stale "
+                           "tunnel results")
     return width * height * iters / dt, int(nr), dt / iters
 
 
