@@ -80,13 +80,14 @@ def stack_camera_params(cams) -> CameraParams:
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "width", "height", "budget", "opt_cfg",
-                     "spatial_lr_scale", "param_shard", "skip_update"),
+                     "spatial_lr_scale", "param_shard", "skip_update",
+                     "grad_reduce"),
 )
 def sharded_train_step(state: TrainState, cams: CameraParams, gts,
                        background, iteration, *, mesh: Mesh, width, height,
                        budget, opt_cfg: OptimizationParams,
                        spatial_lr_scale: float, param_shard: bool = False,
-                       skip_update: bool = False):
+                       skip_update: bool = False, grad_reduce: str = "f32"):
     """One data+tile-parallel training iteration.
 
     cams: batched CameraParams with leading axis n_data; gts
@@ -152,7 +153,7 @@ def sharded_train_step(state: TrainState, cams: CameraParams, gts,
                                           tile_rows=(r0, rows_per))
             strip, strip_t, _, _ = tile_render(
                 prep, b, background, width, height,
-                tile_rows=(r0, rows_per),
+                tile_rows=(r0, rows_per), grad_reduce=grad_reduce,
             )  # (rows_per*16, W, 3)
             num_rendered = b.num_rendered  # this strip's true demand
 
@@ -301,7 +302,8 @@ def sharded_train_step(state: TrainState, cams: CameraParams, gts,
 def run_sharded_step_with_regrow(state, cams, gts, background, iteration, *,
                                  mesh, width, height, budget, opt_cfg,
                                  spatial_lr_scale, growth=2,
-                                 param_shard=False, skip_update=False):
+                                 param_shard=False, skip_update=False,
+                                 grad_reduce="f32"):
     """Host wrapper replicating the single-chip overflow contract
     (train/trainer.py): if any strip's true instance demand exceeded the
     static budget, double the budget (recompile at the next power) and
@@ -312,7 +314,7 @@ def run_sharded_step_with_regrow(state, cams, gts, background, iteration, *,
             state, cams, gts, background, iteration, mesh=mesh,
             width=width, height=height, budget=budget, opt_cfg=opt_cfg,
             spatial_lr_scale=spatial_lr_scale, param_shard=param_shard,
-            skip_update=skip_update)
+            skip_update=skip_update, grad_reduce=grad_reduce)
         new_state, metrics = out[0], out[1]
         needed = int(metrics["num_rendered_max"])
         if needed <= budget:
@@ -418,7 +420,8 @@ class ShardedTrainer(trainer_mod.Trainer):
             budget=budget, opt_cfg=cfg,
             spatial_lr_scale=self.spatial_lr_scale,
             param_shard=self.param_shard,
-            skip_update=surgery or final)
+            skip_update=surgery or final,
+            grad_reduce=self.grad_reduce)
         self.state, metrics, new_budget = out[0], out[1], out[2]
         pending = out[3] if len(out) > 3 else None
         for c in cams:
