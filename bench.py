@@ -32,6 +32,13 @@ import subprocess
 import sys
 import time
 
+# Reference-throughput estimate, NOT a measurement (no CUDA hardware in
+# this environment).  Derivation: the reference's full_eval wall clock
+# (~7 h for 13 scenes x 30k iterations + renders + metrics on an A6000,
+# /root/reference/README.md:386) bounds the mean train iteration at
+# ~15-25 ms; a mid-training MipNeRF-360 camera is ~2-4 MP, giving
+# 1-2.5e8 px/s through fwd+bwd.  1.4e8 is the center of that band;
+# treat vs_baseline as having roughly +-40% error bars.
 REF_PIXELS_PER_S = 1.4e8
 
 # (width, height, primitives, splat scale range, instance budget, tag)
