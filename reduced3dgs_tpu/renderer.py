@@ -34,6 +34,16 @@ from reduced3dgs_tpu.ops import preprocess as prep_ops
 from reduced3dgs_tpu.ops.preprocess import CameraParams
 
 
+@jax.jit
+def mark_visible(xyz, cam: CameraParams):
+    """(P,) bool frustum visibility — the GaussianRasterizer.markVisible
+    API (diff_gaussian_rasterization/__init__.py:188-196, rasterize_points
+    .cu:307-326): view-space z > 0.2, same test the preprocess cull uses."""
+    from reduced3dgs_tpu.ops import transforms as tf
+
+    return tf.transform_points_3x3(xyz, cam.viewmatrix)[:, 2] > 0.2
+
+
 class RenderOut(NamedTuple):
     color: jnp.ndarray  # (H,W,3)
     final_t: jnp.ndarray  # (H,W)
