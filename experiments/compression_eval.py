@@ -268,8 +268,15 @@ def main():
             print("== building procedural scene", flush=True)
             make_scene(data)
         for cfg, extra in CONFIGS.items():
+            model = os.path.join(args.root, f"model_{cfg}")
+            done = os.path.join(model, "point_cloud", f"iteration_{ITER}",
+                                "point_cloud_quantised_half.ply")
+            if os.path.exists(done):  # resumable across partial runs
+                print(f"== training ({cfg}): already trained, skipping",
+                      flush=True)
+                continue
             print(f"== training ({cfg})", flush=True)
-            train(data, os.path.join(args.root, f"model_{cfg}"), extra)
+            train(data, model, extra)
     res = {}
     for cfg in CONFIGS:
         print(f"== evaluating ({cfg})", flush=True)

@@ -97,24 +97,23 @@ def allocate_min_redundancy(red_values, neighbours, mask, num_points):
     )[:num_points]
 
 
-@partial(jax.jit, static_argnames=("num_neighbours",))
-def redundancy_metric(xyz, scales, rotations_norm, alive, projmatrices,
-                      inv_projmatrices, heights, widths, pixel_scale=1.0,
-                      num_neighbours=30):
-    """Scene.calculate_redundancy_metric (scene/__init__.py:142-174).
-
-    Returns (min_redundancy (P,) int32, cube_size (P,)).  Dead pool slots
-    are pushed far away so they never intersect anything.
-    """
-    from reduced3dgs_tpu.ops.knn import knn_indices
-
+@jax.jit
+def _far_points(xyz, alive):
     p = xyz.shape[0]
-    far = jnp.where(alive[:, None], xyz, 1e8 + jnp.arange(p, dtype=jnp.float32)[:, None])
+    return jnp.where(
+        alive[:, None], xyz,
+        1e8 + jnp.arange(p, dtype=jnp.float32)[:, None])
+
+
+@jax.jit
+def _redundancy_core(far, scales, rotations_norm, neighbours,
+                     projmatrices, inv_projmatrices, heights, widths,
+                     pixel_scale):
+    p = far.shape[0]
     cube_size = min_projected_pixel_size(
         far, projmatrices, inv_projmatrices, heights, widths
     )
     half_diag = cube_size * pixel_scale * jnp.sqrt(3.0) / 2.0
-    neighbours = knn_indices(far, num_neighbours)
     counts, mask = sphere_ellipsoid_intersection(
         far, scales, rotations_norm, neighbours, half_diag
     )
@@ -124,3 +123,28 @@ def redundancy_metric(xyz, scales, rotations_norm, alive, projmatrices,
     mask = jnp.concatenate([jnp.ones((p, 1), bool), mask], axis=1)
     min_red = allocate_min_redundancy(counts, neighbours, mask, p)
     return min_red, cube_size
+
+
+def redundancy_metric(xyz, scales, rotations_norm, alive, projmatrices,
+                      inv_projmatrices, heights, widths, pixel_scale=1.0,
+                      num_neighbours=30):
+    """Scene.calculate_redundancy_metric (scene/__init__.py:142-174).
+
+    Returns (min_redundancy (P,) int32, cube_size (P,)).  Dead pool slots
+    are pushed far away so they never intersect anything.
+
+    A HOST-level function, not one jit: the exact-KNN ladder reruns its
+    jitted search with a growing shortlist until the exactness
+    certificate holds (ops/knn.py) — a host-side loop that cannot run
+    under a trace (calling it inside a jit raised
+    TracerBoolConversionError the first time a pool grew past the
+    brute-force limit mid-training; round-4 fix).  The work before and
+    after the KNN is jitted.
+    """
+    from reduced3dgs_tpu.ops.knn import knn_indices
+
+    far = _far_points(xyz, alive)
+    neighbours = knn_indices(far, num_neighbours)
+    return _redundancy_core(
+        far, scales, rotations_norm, neighbours, projmatrices,
+        inv_projmatrices, heights, widths, jnp.float32(pixel_scale))

@@ -99,3 +99,33 @@ def test_allocate_min_redundancy():
         9,  # 3 <- from 2 (9); 1's entry for 3 is masked off
     ])
     np.testing.assert_array_equal(got, want)
+
+
+def test_redundancy_metric_above_brute_knn_limit():
+    """A pool larger than the brute-force KNN limit must still compute
+    the redundancy metric: the certified-KNN ladder is a HOST loop, and
+    calling it under redundancy_metric's old whole-function jit raised
+    TracerBoolConversionError the first time a real training run grew
+    past EXACT_LIMIT points (round-4 regression, compression_eval)."""
+    from reduced3dgs_tpu.ops.knn import EXACT_LIMIT
+    from reduced3dgs_tpu.ops.redundancy import redundancy_metric
+    from reduced3dgs_tpu.cameras import Camera
+
+    p = EXACT_LIMIT + 1024
+    rng = np.random.default_rng(3)
+    xyz = rng.uniform(-1, 1, (p, 3)).astype(np.float32)
+    scales = np.full((p, 3), 0.01, np.float32)
+    rots = np.tile(np.array([1, 0, 0, 0], np.float32), (p, 1))
+    alive = np.ones(p, bool)
+    alive[::7] = False
+    cam = Camera.look_at(eye=(0, 0, -3), target=(0, 0, 0), width=64,
+                         height=64)
+    projs = jnp.asarray(cam.full_proj_transform)[None]
+    invs = jnp.asarray(cam.inverse_full_proj_transform)[None]
+    red, cube = redundancy_metric(
+        jnp.asarray(xyz), jnp.asarray(scales), jnp.asarray(rots),
+        jnp.asarray(alive), projs, invs,
+        jnp.array([64], jnp.int32), jnp.array([64], jnp.int32),
+        num_neighbours=8)
+    assert red.shape == (p,)
+    assert bool(jnp.all(jnp.isfinite(cube[jnp.asarray(alive)])))
