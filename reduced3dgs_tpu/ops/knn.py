@@ -56,9 +56,14 @@ def _expand_bits_10(v):
 def morton_codes(points, offset=0.0):
     """30-bit Morton codes over the point bbox (cf. coord2Morton,
     simple_knn.cu:46-71).  `offset` shifts the quantization grid (in
-    cells) to diversify candidate windows across orderings."""
-    lo = points.min(axis=0)
-    hi = points.max(axis=0)
+    cells) to diversify candidate windows across orderings.
+
+    Non-finite rows (the "absent point" convention, see knn()) are
+    excluded from the bbox so they cannot collapse the real points'
+    quantization grid; they land in the top cell."""
+    fin = jnp.isfinite(points).all(axis=1, keepdims=True)
+    lo = jnp.where(fin, points, jnp.inf).min(axis=0)
+    hi = jnp.where(fin, points, -jnp.inf).max(axis=0)
     q = jnp.clip(
         (points - lo) / jnp.maximum(hi - lo, 1e-12) * 1023.0 + offset,
         0, 1023,
@@ -309,6 +314,12 @@ def knn(points, k: int, window: int = 64, exact: bool | None = None):
     certified-exact blocked search above it (matching the reference's
     always-exact simple-knn).  exact=False opts into the cheaper
     approximate Morton-window sweep.
+
+    Rows with non-finite coordinates are ABSENT points: they are never
+    returned as anyone's neighbour, their own results are meaningless
+    (inf distances), and they do not perturb the Morton grid — callers
+    with masked pools compact alive rows and pad with +inf (see
+    ops/redundancy.py).
     """
     if exact is None:
         if points.shape[0] <= EXACT_LIMIT:

@@ -98,31 +98,60 @@ def allocate_min_redundancy(red_values, neighbours, mask, num_points):
 
 
 @jax.jit
-def _far_points(xyz, alive):
-    p = xyz.shape[0]
-    return jnp.where(
-        alive[:, None], xyz,
-        1e8 + jnp.arange(p, dtype=jnp.float32)[:, None])
+def _alive_order(alive):
+    """(order, n_alive): stable partition with alive rows first."""
+    p = alive.shape[0]
+    _, order = jax.lax.sort(
+        ((~alive).astype(jnp.int32), jnp.arange(p, dtype=jnp.int32)),
+        num_keys=1, is_stable=True)
+    return order, alive.sum()
+
+
+@partial(jax.jit, static_argnames=("m",))
+def _compact(xyz, scales, rots, order, n_alive, m):
+    """First m rows of the alive-first ordering; rows >= n_alive get
+    +inf coords (the KNN "absent point" convention, ops/knn.py)."""
+    sel = order[:m]
+    absent = jnp.arange(m) >= n_alive
+    xyz_c = jnp.where(absent[:, None], jnp.inf, xyz[sel])
+    return xyz_c, scales[sel], rots[sel], sel, absent
 
 
 @jax.jit
-def _redundancy_core(far, scales, rotations_norm, neighbours,
+def _redundancy_core(pts, scales, rotations_norm, absent, neighbours,
                      projmatrices, inv_projmatrices, heights, widths,
                      pixel_scale):
-    p = far.shape[0]
+    p = pts.shape[0]
+    # absent rows carry inf coords; keep the projection math finite for
+    # them (their outputs are masked below)
+    safe = jnp.where(absent[:, None], 0.0, pts)
     cube_size = min_projected_pixel_size(
-        far, projmatrices, inv_projmatrices, heights, widths
+        safe, projmatrices, inv_projmatrices, heights, widths
     )
     half_diag = cube_size * pixel_scale * jnp.sqrt(3.0) / 2.0
     counts, mask = sphere_ellipsoid_intersection(
-        far, scales, rotations_norm, neighbours, half_diag
+        safe, scales, rotations_norm, neighbours, half_diag
     )
-    counts = counts + 1  # self (scene/__init__.py:168)
+    # absent rows intersect nothing, scatter nothing, and are never a
+    # valid neighbour (KNN only returns them when fewer than k real
+    # points exist; their inf distance made the query treat them as
+    # placed at `safe`'s origin above, so gate them out explicitly)
+    mask = mask & ~absent[:, None] & ~absent[neighbours]
+    counts = jnp.where(absent, 0, counts + 1)  # self (scene/__init__.py:168)
     self_idx = jnp.arange(p, dtype=jnp.int32)[:, None]
     neighbours = jnp.concatenate([self_idx, neighbours], axis=1)
-    mask = jnp.concatenate([jnp.ones((p, 1), bool), mask], axis=1)
+    mask = jnp.concatenate([~absent[:, None], mask], axis=1)
     min_red = allocate_min_redundancy(counts, neighbours, mask, p)
     return min_red, cube_size
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _scatter_back(sel, absent, red_c, cube_c, cap):
+    red = jnp.zeros((cap,), jnp.int32).at[sel].set(
+        jnp.where(absent, 0, red_c))
+    cube = jnp.zeros((cap,), jnp.float32).at[sel].set(
+        jnp.where(absent, 0.0, cube_c))
+    return red, cube
 
 
 def redundancy_metric(xyz, scales, rotations_norm, alive, projmatrices,
@@ -130,21 +159,34 @@ def redundancy_metric(xyz, scales, rotations_norm, alive, projmatrices,
                       num_neighbours=30):
     """Scene.calculate_redundancy_metric (scene/__init__.py:142-174).
 
-    Returns (min_redundancy (P,) int32, cube_size (P,)).  Dead pool slots
-    are pushed far away so they never intersect anything.
+    Returns (min_redundancy (P,) int32, cube_size (P,)) over the full
+    capacity; dead pool slots report 0.
 
-    A HOST-level function, not one jit: the exact-KNN ladder reruns its
-    jitted search with a growing shortlist until the exactness
-    certificate holds (ops/knn.py) — a host-side loop that cannot run
-    under a trace (calling it inside a jit raised
-    TracerBoolConversionError the first time a pool grew past the
-    brute-force limit mid-training; round-4 fix).  The work before and
-    after the KNN is jitted.
+    A HOST-level function, not one jit, for two reasons:
+      * the exact-KNN ladder reruns its jitted search with a growing
+        shortlist until the exactness certificate holds (ops/knn.py) — a
+        host-side loop that cannot run under a trace (calling it inside
+        a jit raised TracerBoolConversionError the first time a pool
+        grew past the brute-force limit mid-training; round-4 fix);
+      * the KNN runs on a COMPACTED alive-rows-first view (power-of-two
+        bucket, +inf "absent" padding): the reference's simple-knn sees
+        only the live, compacted tensors, and scattering dead slots to
+        a far line both wastes KNN work on them and collapses the
+        Morton grid (every real point lands in one cell), defeating the
+        certificate into the O(P^2) brute fallback.
     """
     from reduced3dgs_tpu.ops.knn import knn_indices
 
-    far = _far_points(xyz, alive)
-    neighbours = knn_indices(far, num_neighbours)
-    return _redundancy_core(
-        far, scales, rotations_norm, neighbours, projmatrices,
+    cap = xyz.shape[0]
+    order, n_alive_dev = _alive_order(alive)
+    n_alive = int(n_alive_dev)
+    m = max(1 << (max(n_alive - 1, 1)).bit_length(),
+            num_neighbours + 1)
+    m = min(m, cap)
+    xyz_c, scales_c, rots_c, sel, absent = _compact(
+        xyz, scales, rotations_norm, order, jnp.int32(n_alive), m)
+    neighbours = knn_indices(xyz_c, num_neighbours)
+    red_c, cube_c = _redundancy_core(
+        xyz_c, scales_c, rots_c, absent, neighbours, projmatrices,
         inv_projmatrices, heights, widths, jnp.float32(pixel_scale))
+    return _scatter_back(sel, absent, red_c, cube_c, cap)
