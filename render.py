@@ -46,6 +46,9 @@ def main():
     parser.add_argument("--skip_test", action="store_true")
     parser.add_argument("--skip_measure_fps", action="store_true")
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--variable_sh_bands", action="store_true",
+                        help="render from the ragged degree-grouped SH "
+                             "packing (models/variable_sh.py)")
     parser.add_argument("--models", nargs="+", type=str,
                         default=["baseline", "quantised_half"])
     args = C.get_combined_args(parser)
@@ -138,7 +141,12 @@ def main():
             cps = jax.tree.map(
                 lambda *leaves: jnp.stack([jnp.asarray(x) for x in leaves]),
                 *[c.params() for c in cams_f])
-            budget = 1 << 19
+            # start small and let the ladder find each model's TIGHT
+            # bucket: every instance-sized cost (binning sort, expand,
+            # kernels) scales with the budget, so a reduced model only
+            # shows its rendering speedup if its budget fits its true
+            # instance demand (a fixed oversized budget would erase it)
+            budget = 1 << 15
 
             # The pool leaves are passed as ARGUMENTS, not closed over:
             # a closed-over device array is embedded in the MLIR module
@@ -174,9 +182,12 @@ def main():
                 # compile + warmup pass
                 last, nrs = go(jnp.float32(0.0), pool, cps, budget)
                 jax.block_until_ready(last)
-                if int(jnp.max(nrs)) <= budget:
+                needed = int(jnp.max(nrs))
+                if needed <= budget:
                     break
-                budget *= 2
+                while budget < needed:  # {2^k, 3*2^(k-1)} ladder
+                    budget = (budget // 2 * 3 if budget & (budget - 1) == 0
+                              else budget // 3 * 4)
             # `salt` makes the timed call's arguments differ from the
             # warmup's: the tunneled runtime has served a CACHED result
             # for a repeated (executable, args) pair, which would read
