@@ -112,13 +112,21 @@ def _measure(width, height, n, smin, smax, budget):
     # which reads as an impossibly instant timed run.
     @jax.jit
     def run(n_iters, salt, xyz, feats, scales, rots, opac):
+        # the loop CARRY seeds the chain (zero grads, salt as the fake
+        # previous loss) so the program contains the step exactly ONCE —
+        # an `init = one_step(...)` outside the loop would duplicate the
+        # whole step body in the executable (2x compile, ~1 ms/step of
+        # amortized init-copy ops at 20 iters)
+        zero_g = tuple(jnp.zeros_like(a) for a in
+                       (xyz, feats, scales, rots, opac))
+
         def body(_, carry):
             l_prev, nr, g = carry
             x2 = xyz + 1e-30 * l_prev
             return one_step(x2, feats, scales, rots, opac)
 
-        init = one_step(xyz + 1e-30 * salt, feats, scales, rots, opac)
-        return jax.lax.fori_loop(1, n_iters, body, init)
+        init = (salt.astype(jnp.float32) * 1e-6, jnp.int32(0), zero_g)
+        return jax.lax.fori_loop(0, n_iters, body, init)
 
     # AOT compile with retries: the remote compile service intermittently
     # drops the connection mid-response; the persistent cache in

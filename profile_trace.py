@@ -61,6 +61,11 @@ def build_step(width, height, n, budget, smin=0.002, smax=0.010):
 
     @jax.jit
     def run(n_iters, salt, xyz, feats, scales, rots, opac):
+        # zero-carry init: the program contains the step exactly ONCE
+        # (an init=one_step(...) would duplicate the whole step body)
+        zero_g = tuple(jnp.zeros_like(a) for a in
+                       (xyz, feats, scales, rots, opac))
+
         def body(_, carry):
             l_prev, nr, g = carry
             x2 = xyz + 1e-30 * l_prev
@@ -68,8 +73,8 @@ def build_step(width, height, n, budget, smin=0.002, smax=0.010):
 
         # salt makes each call's args unique (the tunnel can serve a
         # cached result for a repeated (executable, args) pair)
-        init = one_step(xyz + 1e-30 * salt, feats, scales, rots, opac)
-        return jax.lax.fori_loop(1, n_iters, body, init)
+        init = (salt.astype(jnp.float32) * 1e-6, jnp.int32(0), zero_g)
+        return jax.lax.fori_loop(0, n_iters, body, init)
 
     return run, args
 
