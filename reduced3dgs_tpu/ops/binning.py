@@ -46,6 +46,16 @@ from reduced3dgs_tpu.ops.preprocess import PreprocessOut, tile_grid
 
 ALIGN = 128  # must equal tile_render.K (kernel chunk width)
 CHUNK_GROUP = 8  # B_pad is a multiple of ALIGN*CHUNK_GROUP (relayout grid)
+# Static alignment-slack pool.  Each tile's range rounds up to a
+# multiple of ALIGN, so the worst case is (ALIGN-1) per tile — but the
+# EXPECTED need is ~ALIGN/2 (uniform remainders), and reserving the
+# worst case made every B-sized op (gather, both sorts, cumsums) carry
+# ~9% dead rows at 1080p.  _slack_pool reserves mean + ~16 sigma of the
+# uniform-remainder model (converging to 80/tile at large tile counts,
+# the full worst case at small ones); a scene that still needs more
+# (pathologically many near-empty tiles) trips the same budget-regrow
+# contract as num_rendered overflow — see bin_gaussians' overflow
+# clamp and renderer.py.
 # numpy, not jnp: a module-level device scalar would initialize the JAX
 # backend at import time, before platform.setup() can pin jax_platforms.
 _MAXI = np.int32(2**31 - 1)
@@ -82,11 +92,18 @@ class BinningOut(NamedTuple):
         return jnp.where(self.pad_mask, 0, self.gauss_aligned)
 
 
+def _slack_pool(num_tiles: int) -> int:
+    import math
+
+    stat = (num_tiles * 80 + int(148 * math.sqrt(num_tiles)) + 256)
+    return min(num_tiles * ALIGN, stat)
+
+
 def padded_size(budget: int, width: int, height: int, tile_rows=None) -> int:
     gx, gy = tile_grid(width, height)
     rows = gy if tile_rows is None else tile_rows[1]
     budget = -(-budget // ALIGN) * ALIGN  # keep B_pad a multiple of K
-    size = budget + gx * rows * ALIGN
+    size = budget + _slack_pool(gx * rows)
     group = ALIGN * CHUNK_GROUP  # feature-relayout kernel grid unit
     return -(-size // group) * group
 
@@ -340,10 +357,19 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
     seg_bounds = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.minimum(offsets, nv)])
 
+    # Slack-overflow safety: if the per-tile K-rounding needs more than
+    # the static slack (total_padded > b_pad), the relocation above was
+    # lossy.  The RANGES are clamped so no kernel can ever DMA past the
+    # (16, b_pad) feature array (b_pad and all starts are K-multiples,
+    # so clamped ranges stay K-aligned); renderer.py folds the condition
+    # into the num_rendered overflow report and the host regrows the
+    # budget (which grows b_pad) and redoes the step.
+    starts = jnp.minimum(new_start, b_pad)
+    ends = jnp.minimum(new_start + tcounts, b_pad)
     return BinningOut(
         gauss_aligned=gauss_a,
         tile_id=tile_a,
-        tile_ranges=jnp.stack([new_start, new_start + tcounts], axis=0),
+        tile_ranges=jnp.stack([starts, ends], axis=0),
         num_rendered=num_rendered,
         total_padded=total_padded,
         seg_bounds=seg_bounds,

@@ -954,7 +954,11 @@ def _core_fwd(means2d, conic, opacity, color, binning, base, width, height,
         jnp.int32, (num_tiles, PIX_ROWS, NPIX), 1) == 3)
     one = (binning.num_rendered * 0 + 1).astype(jnp.float32)
     out_init = jnp.where(is_t_row, one, 0.0)
-    base2 = jnp.concatenate([base, (binning.total_padded // K).reshape(1)])
+    # clamp: under slack overflow total_padded may exceed b_pad (the
+    # host redoes the step, see renderer.py), and the fwd stream must
+    # never walk chunks past the feature array
+    base2 = jnp.concatenate(
+        [base, (jnp.minimum(binning.total_padded, b_pad) // K).reshape(1)])
     ranges2 = binning.tile_ranges  # (2, num_tiles) for VMEM tiling
     (packed,) = fwd(base2, ranges2, feat, out_init)
     res = (feat, binning, base, packed, means2d.shape[0])
@@ -1049,7 +1053,7 @@ def _core_bwd(width, height, num_rows, grad_reduce, res, g_packed):
     bwd = _build_bwd(num_tiles, grid_x, width, height, b_pad, max_chunks,
                      _interpret(), fast=(grad_reduce == "bf16x2"))
     base2 = jnp.concatenate(
-        [base, (binning.total_padded // K).reshape(1)])
+        [base, (jnp.minimum(binning.total_padded, b_pad) // K).reshape(1)])
     (dfeat,) = bwd(base2, binning.tile_ranges, feat, g_packed, packed)
 
     # dfeat is (16, B_pad) feature-major; rows 0..8 carry gradients.
@@ -1116,7 +1120,8 @@ def tile_render(prep: PreprocessOut, binning: BinningOut, background,
         trans = _build_trans(num_rows * grid_x, grid_x, width, height,
                              b_pad, max_chunks, _interpret())
         base2 = jnp.concatenate(
-            [base, (binning.total_padded // K).reshape(1)])
+            [base, (jnp.minimum(binning.total_padded, b_pad) // K)
+             .reshape(1)])
         (acc,) = trans(base2, binning.tile_ranges, feat)
         # scatter-based reduction here, not _segment_reduce_by_src: the
         # transmittance accumulators are all-positive, so a global-prefix

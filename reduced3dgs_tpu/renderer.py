@@ -97,6 +97,17 @@ def render(
     tile_rows = None if strip_rows is None else (strip_r0, strip_rows)
     b = binning_ops.bin_gaussians(prep, width, height, instance_budget,
                                   tile_rows=tile_rows)
+    # Overflow report: num_rendered > budget means truncation, AND
+    # total_padded > b_pad means the static per-tile alignment slack
+    # (binning.SLACK_PER_TILE) ran out — binning clamped the layout, so
+    # the image is incomplete.  Both fold into one number every
+    # existing regrow loop already understands: grow the budget (which
+    # also grows the slack pool) and redo the step.
+    b_pad = b.gauss_aligned.shape[0]
+    nr_report = jnp.where(
+        b.total_padded > b_pad,
+        jnp.maximum(b.num_rendered, jnp.int32(instance_budget + 1)),
+        b.num_rendered)
 
     if backend == "xla":
         if tile_rows is not None:
@@ -129,7 +140,7 @@ def render(
         radii=prep.radii,
         visibility=prep.radii > 0,
         means2d=prep.means2d,
-        num_rendered=b.num_rendered,
+        num_rendered=nr_report,
         transmittance_sum=g_trans,
         pixels_touched=g_touch,
     )

@@ -153,3 +153,58 @@ def test_two_col_fallback_matches_packed(monkeypatch):
     )(prep)
     for a, c in zip(jax.tree.leaves(b_fast), jax.tree.leaves(b_slow)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_slack_overflow_trips_regrow_contract():
+    """A pathological scene (one instance in each of many tiles) needs
+    more K-alignment slack than the statistical pool reserves; binning
+    must clamp the layout inside array bounds and render() must report
+    it through num_rendered so the standard regrow loop recovers an
+    image identical to a big-budget render (round-4 slack tightening)."""
+    import jax
+    import jax.numpy as jnp
+
+    from reduced3dgs_tpu.cameras import Camera
+    from reduced3dgs_tpu.ops.binning import _slack_pool, padded_size
+    from reduced3dgs_tpu.renderer import render
+
+    w = h = 128  # 8x8 = 64 tiles
+    assert _slack_pool(64) < 64 * 128  # the pool CAN be exceeded here
+    n = 64
+    # one tiny splat per tile center
+    ys, xs = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    px = (xs.reshape(-1) * 16 + 8).astype(np.float32)
+    py = (ys.reshape(-1) * 16 + 8).astype(np.float32)
+    # place in world space on the z=0 plane of a fronto-parallel camera
+    cam = Camera.look_at(eye=(0, 0, -2.0), target=(0, 0, 0), width=w,
+                         height=h)
+    # back-project pixel centers to world at depth 2 (fov 60deg)
+    tanx, tany = cam.tan_fovx, cam.tan_fovy
+    wx = (px / w * 2 - 1) * tanx * 2.0
+    wy = (py / h * 2 - 1) * tany * 2.0
+    xyz = np.stack([wx, wy, np.zeros_like(wx)], 1).astype(np.float32)
+    feats = np.zeros((n, 16, 3), np.float32)
+    feats[:, 0] = 1.0
+    scales = np.full((n, 3), np.log(0.004), np.float32)
+    rots = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    opac = np.full(n, 3.0, np.float32)
+    deg = np.zeros(n, np.int32)
+    args = tuple(jnp.asarray(a) for a in (xyz, feats, scales, rots, opac))
+
+    def run(budget):
+        return render(*args, jnp.asarray(deg), cam.params(), jnp.zeros(3),
+                      width=w, height=h, instance_budget=budget,
+                      backend="pallas")
+
+    budget = 128
+    out = run(budget)
+    assert int(out.num_rendered) > budget  # the overflow IS reported
+    while int(out.num_rendered) > budget:  # standard regrow loop
+        budget *= 2
+        out = run(budget)
+        assert budget <= 1 << 16, "regrow did not converge"
+    ref = run(1 << 14)
+    np.testing.assert_allclose(np.asarray(out.color),
+                               np.asarray(ref.color), atol=1e-6)
+    # and the recovered image actually contains the splats
+    assert float(jnp.asarray(out.color).max()) > 0.1
