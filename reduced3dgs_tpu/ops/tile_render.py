@@ -926,6 +926,53 @@ def _cumsum9_kernel(ncols, x_ref, o_ref, carry):
     carry[...] = c
 
 
+def _cumsum_packed_kernel(npack, nout, x_ref, o_ref, carry):
+    """Like _cumsum9_kernel, but the input rows are bf16x2-PACKED int32
+    and the unpack happens in-register: widening a bf16 to f32 is
+    exactly "append 16 zero bits", so hi = bitcast_f32(v & 0xFFFF0000)
+    and lo = bitcast_f32(v << 16) — pure 32-bit ops, no 16-bit types.
+    Skips the XLA-side unpack materialization of a (9, B) f32
+    intermediate (~2 ms at 1080p)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry[...] = jnp.zeros((nout, 1), jnp.float32)
+
+    v = x_ref[...]  # (npack, _CS_LANES) int32
+    rows = []
+    himask = jnp.int32(-65536)  # 0xFFFF0000
+    for r in range(npack):
+        vr = v[r:r + 1, :]
+        rows.append(jax.lax.bitcast_convert_type(vr & himask, jnp.float32))
+        rows.append(jax.lax.bitcast_convert_type(vr << 16, jnp.float32))
+    x = jnp.concatenate(rows[:nout], axis=0)  # (nout, _CS_LANES)
+    t = _tri(excl=True)
+    d = ((1,), (0,))
+    c = carry[...]
+    outs = []
+    for sblk in range(_CS_LANES // K0):
+        blk = x[:, sblk * K0:(sblk + 1) * K0]
+        hi, lo = _bf16_split(blk)
+        outs.append(_mm1(hi, t, d) + _mm1(lo, t, d) + c)
+        c = c + jnp.sum(blk, axis=1, keepdims=True)
+    o_ref[...] = jnp.concatenate(outs, axis=1)
+    carry[...] = c
+
+
+@functools.cache
+def _build_cumsum_packed(npack, nout, b_pad, interpret):
+    return pl.pallas_call(
+        functools.partial(_cumsum_packed_kernel, npack, nout),
+        grid=(b_pad // _CS_LANES,),
+        in_specs=[pl.BlockSpec((npack, _CS_LANES), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((nout, _CS_LANES), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((nout, b_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nout, 1), jnp.float32)],
+        interpret=interpret,
+    )
+
+
 @functools.cache
 def _build_cumsum9(ncols, b_pad, interpret):
     return pl.pallas_call(
@@ -1021,11 +1068,8 @@ def _segment_reduce_by_src(cols, binning: BinningOut, grad_reduce="f32"):
                  for i in range(0, len(padded), 2)]
         srt = jax.lax.sort((key,) + tuple(packs), num_keys=1,
                            is_stable=False)
-        unpacked = []
-        for v in srt[1:]:
-            hi, lo = _unpack_bf16x2(v)
-            unpacked += [hi, lo]
-        sorted_cols = unpacked[:n]
+        sorted_cols = None  # unpack happens inside the cumsum kernel
+        stacked_packed = jnp.stack(srt[1:], axis=0)  # (ceil(n/2), B)
     elif grad_reduce == "f32":
         srt = jax.lax.sort((key,) + tuple(cols), num_keys=1,
                            is_stable=False)
@@ -1033,12 +1077,17 @@ def _segment_reduce_by_src(cols, binning: BinningOut, grad_reduce="f32"):
     else:
         raise ValueError(f"unknown grad_reduce {grad_reduce!r}")
     zb = binning.seg_bounds
-    stacked = jnp.stack(sorted_cols, axis=0)  # (n, B_pad), lane-dense rows
     # ONE fused Pallas pass for all n prefix sums, then one batched
     # boundary pick at the (monotone) bounds: exclusive prefixes make
     # v[:, r] the sum before slot zb[r], so segment sums are adjacent
-    # differences with no leading-zero padding or masking.
-    pse = _build_cumsum9(n, b_pad, _interpret())(stacked)
+    # differences with no leading-zero padding or masking.  The bf16x2
+    # path feeds the PACKED int32 rows straight in (in-register unpack).
+    if sorted_cols is None:
+        pse = _build_cumsum_packed(
+            stacked_packed.shape[0], n, b_pad, _interpret())(stacked_packed)
+    else:
+        stacked = jnp.stack(sorted_cols, axis=0)  # (n, B_pad)
+        pse = _build_cumsum9(n, b_pad, _interpret())(stacked)
     v = jnp.take(pse, zb, axis=1)  # (n, P+1)
     d = (v[:, 1:] - v[:, :-1]).T[binning.prim_inv]  # rank -> original id
     return [d[:, i] for i in range(d.shape[1])]
