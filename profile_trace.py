@@ -158,6 +158,8 @@ def main():
                 print(f"compile attempt {att} failed: {str(e)[:120]}",
                       flush=True)
                 time.sleep(5)
+    if comp is None:
+        raise RuntimeError("remote compile failed/hung after 5 attempts")
     run = comp
     l, nr, g = run(1, 1.0, *args)
     jax.block_until_ready(g)

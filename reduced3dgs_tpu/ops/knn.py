@@ -259,7 +259,17 @@ def _blocked_knn_step(points, k: int, m: int, box: int):
         d2sel = jnp.square(csel - q[:, None, :]).sum(-1)
         d2sel = jnp.where(jnp.isfinite(-nd), d2sel, jnp.inf)
         # kth bound: any k candidate distances upper-bound the true kth
-        kth = jnp.where(jnp.isfinite(d2sel), d2sel, -jnp.inf).max(1)  # (S,)
+        # — but only when the row actually holds k FINITE candidates.  A
+        # finite query with fewer than k finite candidates must keep
+        # kth = +inf so certification fails conservatively (the max of
+        # finite-selected would under-estimate the true kth); a row with
+        # NO finite candidates is an absent/pad slot and is trivially
+        # certified (kth = -inf).
+        fin_sel = jnp.isfinite(d2sel)
+        d2sel_max = jnp.where(fin_sel, d2sel, -jnp.inf).max(1)  # (S,)
+        kth = jnp.where(
+            fin_sel.sum(1) >= k, d2sel_max,
+            jnp.where(fin_sel.any(1), jnp.inf, -jnp.inf))
         # certificate: an unscanned box closer than the k-th neighbour
         # could hide a true neighbour
         scanned = (jnp.arange(nb)[None, :] == qb) | (

@@ -155,7 +155,17 @@ def sharded_train_step(state: TrainState, cams: CameraParams, gts,
                 prep, b, background, width, height,
                 tile_rows=(r0, rows_per), grad_reduce=grad_reduce,
             )  # (rows_per*16, W, 3)
-            num_rendered = b.num_rendered  # this strip's true demand
+            # This strip's true demand, with the slack-pool overflow
+            # folded in exactly like renderer.render(): when
+            # total_padded > b_pad the statistical alignment slack
+            # (binning._slack_pool) ran out and binning clamped the
+            # layout — the strip image/grads are silently truncated, so
+            # force num_rendered past the budget to trip the pmax/
+            # regrow contract (run_sharded_step_with_regrow).
+            num_rendered = jnp.where(
+                b.total_padded > b.gauss_aligned.shape[0],
+                jnp.maximum(b.num_rendered, jnp.int32(budget + 1)),
+                b.num_rendered)
 
             # local L1 over valid strip pixels
             y0 = r0 * TILE_Y
@@ -303,13 +313,18 @@ def run_sharded_step_with_regrow(state, cams, gts, background, iteration, *,
                                  mesh, width, height, budget, opt_cfg,
                                  spatial_lr_scale, growth=2,
                                  param_shard=False, skip_update=False,
-                                 grad_reduce="f32"):
+                                 grad_reduce="f32", max_doublings=24):
     """Host wrapper replicating the single-chip overflow contract
     (train/trainer.py): if any strip's true instance demand exceeded the
     static budget, double the budget (recompile at the next power) and
     redo the step on the pre-step state.  Returns
-    (state, metrics, budget) (+ grads with skip_update=True)."""
-    while True:
+    (state, metrics, budget) (+ grads with skip_update=True).
+
+    Bounded: at most `max_doublings` budget growths — if demand still
+    exceeds the budget after that (e.g. the reported demand itself keeps
+    growing because the slack-pool overflow forces num_rendered past
+    every budget we try), raise instead of looping forever."""
+    for _ in range(max_doublings + 1):
         out = sharded_train_step(
             state, cams, gts, background, iteration, mesh=mesh,
             width=width, height=height, budget=budget, opt_cfg=opt_cfg,
@@ -323,6 +338,9 @@ def run_sharded_step_with_regrow(state, cams, gts, background, iteration, *,
             return new_state, metrics, budget
         while budget < needed:
             budget *= growth
+    raise RuntimeError(
+        f"instance-budget regrowth did not converge after "
+        f"{max_doublings} growths (budget={budget}, demand={needed})")
 
 
 # ---------------------------------------------------------------------------

@@ -98,8 +98,9 @@ def render(
     b = binning_ops.bin_gaussians(prep, width, height, instance_budget,
                                   tile_rows=tile_rows)
     # Overflow report: num_rendered > budget means truncation, AND
-    # total_padded > b_pad means the static per-tile alignment slack
-    # (binning.SLACK_PER_TILE) ran out — binning clamped the layout, so
+    # total_padded > b_pad means the statistical alignment slack pool
+    # (binning._slack_pool, folded into the padded size that
+    # bin_gaussians allocates) ran out — binning clamped the layout, so
     # the image is incomplete.  Both fold into one number every
     # existing regrow loop already understands: grow the budget (which
     # also grows the slack pool) and redo the step.
