@@ -3,6 +3,11 @@
 
 Loads an unquantised new-format PLY, fits the 20 k-means codebooks and
 writes the quantised (+ optional half-float) PLYs without retraining.
+
+Framework extensions beyond the reference CLI:
+  --pack_xyz      also write point_cloud_quantised_pack.ply (chunked
+                  fixed-point uint16 xyz + f16 codebook centers — same
+                  bytes as _half with none of the f16 xyz PSNR cost)
 """
 
 from __future__ import annotations
@@ -22,6 +27,7 @@ def main():
     C.add_model_params(parser, fill_none=True)
     parser.add_argument("--iteration", default=-1, type=int)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--pack_xyz", action="store_true")
     args = C.get_combined_args(parser)
 
     import jax
@@ -46,8 +52,15 @@ def main():
                       pool, codebooks, quantised=True)
     save_gaussian_ply(os.path.join(base, "point_cloud_quantised_half.ply"),
                       pool, codebooks, quantised=True, half_float=True)
-    for name in ("point_cloud.ply", "point_cloud_quantised.ply",
-                 "point_cloud_quantised_half.ply"):
+    names = ["point_cloud.ply", "point_cloud_quantised.ply",
+             "point_cloud_quantised_half.ply"]
+    if args.pack_xyz:
+        save_gaussian_ply(
+            os.path.join(base, "point_cloud_quantised_pack.ply"),
+            pool, codebooks, quantised=True, half_float=True,
+            xyz_codec="u16c")
+        names.append("point_cloud_quantised_pack.ply")
+    for name in names:
         p = os.path.join(base, name)
         print(f"  {name}: {os.path.getsize(p) / 1e6:.2f} MB")
 

@@ -48,6 +48,11 @@ def evaluate(model_paths, lpips_weights=None):
     if lpips is None and lpips_weights:
         raise FileNotFoundError(
             f"--lpips_weights {lpips_weights!r} not found/loadable")
+    if lpips is None:
+        print("LPIPS skipped (no VGG16 weights found — place an .npz at "
+              "$R3DGS_LPIPS_WEIGHTS or <repo>/weights/lpips_vgg.npz; "
+              "see reduced3dgs_tpu/ops/lpips.py). results.json will "
+              "report LPIPS: null.")
 
     for scene_dir in model_paths:
         print(f"Scene: {scene_dir}")

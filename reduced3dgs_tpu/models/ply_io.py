@@ -26,6 +26,59 @@ _CODEBOOK_KEYS = (
     + ["opacity", "scaling", "rotation_re", "rotation_im"]
 )
 
+# xyz codec "u16c": fixed-point uint16 coordinates normalized to
+# per-chunk bounding boxes (chunks of _XYZ_CHUNK Morton-ordered rows
+# per degree group, bounds in an extra `xyz_chunk_bounds` element).
+# Same 6 bytes/primitive as the reference's float16 xyz but ~16-100x
+# finer resolution: float16's 2^-11 relative precision at scene-extent
+# magnitudes dominates the reference half format's PSNR cost (measured:
+# the ENTIRE -0.8 dB quantised->quantised_half step on the synthetic
+# eval is xyz f16 rounding; u16c is lossless to 1e-3 dB).  This is a
+# framework extension — the reference loader (gaussian_model.py:318-396)
+# reads only the f16 layout.
+_XYZ_CHUNK = 256
+
+
+def _morton_order(p, bits=16):
+    """Indices sorting rows of (N,3) float positions by Morton code."""
+    lo = p.min(axis=0)
+    span = np.maximum(p.max(axis=0) - lo, 1e-12)
+    g = ((p - lo) / span * ((1 << bits) - 1)).astype(np.uint64)
+    code = np.zeros(len(p), np.uint64)
+    for b in range(bits):
+        for a in range(3):
+            code |= ((g[:, a] >> np.uint64(b)) & np.uint64(1)) << np.uint64(
+                3 * b + a)
+    return np.argsort(code, kind="stable")
+
+
+def _encode_xyz_u16c(x):
+    """(N,3) f32 -> (u16 codes, (nchunks, 6) f32 lo/hi bounds)."""
+    n = x.shape[0]
+    nchunks = -(-n // _XYZ_CHUNK) if n else 0
+    codes = np.zeros((n, 3), np.uint16)
+    bounds = np.zeros((nchunks, 6), np.float32)
+    for c in range(nchunks):
+        rows = slice(c * _XYZ_CHUNK, min((c + 1) * _XYZ_CHUNK, n))
+        lo = x[rows].min(axis=0)
+        hi = x[rows].max(axis=0)
+        scale = np.maximum(hi - lo, 1e-12) / 65535.0
+        codes[rows] = np.round((x[rows] - lo) / scale).clip(0, 65535)
+        bounds[c, :3] = lo
+        bounds[c, 3:] = hi
+    return codes, bounds
+
+
+def _decode_xyz_u16c(codes, bounds):
+    n = codes.shape[0]
+    x = np.zeros((n, 3), np.float32)
+    for c in range(bounds.shape[0]):
+        rows = slice(c * _XYZ_CHUNK, min((c + 1) * _XYZ_CHUNK, n))
+        lo, hi = bounds[c, :3], bounds[c, 3:]
+        scale = np.maximum(hi - lo, 1e-12) / 65535.0
+        x[rows] = codes[rows].astype(np.float32) * scale + lo
+    return x
+
 
 def _attr_names(rest_coeffs):
     return (
@@ -41,10 +94,20 @@ def _to_half_bits(a):
 
 
 def save_gaussian_ply(path, pool, codebook_dict=None, quantised=False,
-                      half_float=False, max_sh_degree=3):
-    """Write the pool's alive primitives grouped by SH degree."""
+                      half_float=False, max_sh_degree=3, xyz_codec=None):
+    """Write the pool's alive primitives grouped by SH degree.
+
+    xyz_codec: "f32" | "f16" | "u16c" (default: "f16" when half_float
+    else "f32").  "u16c" = chunked fixed-point uint16 (see _XYZ_CHUNK
+    note above); rows within each degree group are Morton-reordered to
+    tighten the chunk boxes (row order inside a group carries no
+    meaning in the format).
+    """
+    if xyz_codec is None:
+        xyz_codec = "f16" if half_float else "f32"
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     float_type = "i2" if half_float else "f4"
+    xyz_type = {"f32": "f4", "f16": "i2", "u16c": "u2"}[xyz_codec]
     attr_type = "u1" if quantised else float_type
 
     alive = np.asarray(pool.alive)
@@ -73,19 +136,29 @@ def save_gaussian_ply(path, pool, codebook_dict=None, quantised=False,
         rot = np.asarray(pool.params.rotation)
 
     elements = []
+    all_bounds = []
     for deg in range(max_sh_degree + 1):
         coeffs = (deg + 1) ** 2 - 1
-        m = alive & (degrees == deg)
-        n = int(m.sum())
-        x = _to_half_bits(xyz[m]) if half_float else xyz[m].astype(np.float32)
+        idx = np.nonzero(alive & (degrees == deg))[0]
+        n = len(idx)
+        if xyz_codec == "u16c" and n:
+            idx = idx[_morton_order(xyz[idx])]
+        if xyz_codec == "u16c":
+            x, bounds = _encode_xyz_u16c(xyz[idx].astype(np.float32))
+            all_bounds.append(bounds)
+        elif xyz_codec == "f16":
+            x = _to_half_bits(xyz[idx])
+        else:
+            x = xyz[idx].astype(np.float32)
         # "rrr ggg bbb": (n, coeffs, 3) -> (n, 3, coeffs) -> flat
-        fr = f_rest[m][:, :coeffs].transpose(0, 2, 1).reshape(n, coeffs * 3)
+        fr = (f_rest[idx][:, :coeffs].transpose(0, 2, 1)
+              .reshape(n, coeffs * 3))
         def flat2d(c):  # n == 0 safe (np refuses reshape((0, -1)))
             return c.reshape(n, int(np.prod(c.shape[1:], dtype=np.int64)))
 
         attrs = np.concatenate(
             [flat2d(c) for c in
-             (f_dc[m], fr, opacity[m], scaling[m], rot[m])], axis=1)
+             (f_dc[idx], fr, opacity[idx], scaling[idx], rot[idx])], axis=1)
         if quantised:
             attrs = attrs.astype(np.uint8)
         elif half_float:
@@ -94,15 +167,24 @@ def save_gaussian_ply(path, pool, codebook_dict=None, quantised=False,
             attrs = attrs.astype(np.float32)
         names = _attr_names(coeffs * 3)
         dtype = np.dtype([
-            (a, float_type if a in ("x", "y", "z") else attr_type)
+            (a, xyz_type if a in ("x", "y", "z") else attr_type)
             for a in names
         ])
         rec = np.empty(n, dtype=dtype)
-        flat = np.concatenate([x.reshape(n, 3) if n else
-                               x.reshape(0, 3), attrs], axis=1)
-        for j, a in enumerate(names):
-            rec[a] = flat[:, j]
+        for j, a in enumerate(names[:3]):
+            rec[a] = x[:, j]
+        for j, a in enumerate(names[3:]):
+            rec[a] = attrs[:, j]
         elements.append((f"vertex_{deg}", rec))
+    if xyz_codec == "u16c":
+        bnd = (np.concatenate(all_bounds, axis=0) if all_bounds
+               else np.zeros((0, 6), np.float32))
+        names = ["lo_x", "lo_y", "lo_z", "hi_x", "hi_y", "hi_z"]
+        rec = np.empty(bnd.shape[0],
+                       dtype=np.dtype([(a, "f4") for a in names]))
+        for j, a in enumerate(names):
+            rec[a] = bnd[:, j]
+        elements.append(("xyz_chunk_bounds", rec))
 
     if quantised:
         centers = [np.asarray(codebook_dict[k].centers).reshape(-1, 1)
@@ -124,15 +206,28 @@ def _from_half_bits(a):
 
 
 def load_gaussian_ply(path, quantised=False, half_float=False,
-                      max_sh_degree=3):
+                      max_sh_degree=3, xyz_codec=None):
     """Read a (possibly quantised / half-float) multi-section PLY.
 
     Returns dict of dense numpy arrays: xyz, features_dc (N,1,3),
     features_rest (N,15,3), opacity (N,1), scaling, rotation, degrees.
+    xyz_codec: as in save_gaussian_ply; "u16c" autodetected from the
+    presence of the xyz_chunk_bounds element when not given.
     """
     data = read_ply(path)
-    float_type = np.int16 if half_float else np.float32
+    if xyz_codec is None:
+        if "xyz_chunk_bounds" in data:
+            xyz_codec = "u16c"
+        else:
+            xyz_codec = "f16" if half_float else "f32"
     max_coeffs = (max_sh_degree + 1) ** 2 - 1
+    if xyz_codec == "u16c":
+        cb = data["xyz_chunk_bounds"]
+        chunk_bounds = np.stack(
+            [np.asarray(cb[a]) for a in
+             ("lo_x", "lo_y", "lo_z", "hi_x", "hi_y", "hi_z")],
+            axis=1).astype(np.float32)
+        bounds_used = 0
 
     centers = None
     if quantised:
@@ -161,7 +256,16 @@ def load_gaussian_ply(path, quantised=False, half_float=False,
 
         xyz = np.stack([np.asarray(v["x"]), np.asarray(v["y"]),
                         np.asarray(v["z"])], axis=1)
-        xyz = _from_half_bits(xyz) if half_float else xyz.astype(np.float32)
+        if xyz_codec == "u16c":
+            nchunks = -(-n // _XYZ_CHUNK) if n else 0
+            xyz = _decode_xyz_u16c(
+                xyz.astype(np.uint16),
+                chunk_bounds[bounds_used:bounds_used + nchunks])
+            bounds_used += nchunks
+        elif xyz_codec == "f16":
+            xyz = _from_half_bits(xyz)
+        else:
+            xyz = xyz.astype(np.float32)
         f_dc = vec("f_dc", 3).reshape(n, 1, 3)
         # stored rrr ggg bbb -> (n, 3, coeffs) -> (n, coeffs, 3)
         if coeffs:

@@ -125,26 +125,33 @@ class Scene:
         )
 
     # -- model IO (scene/__init__.py:80-96) ------------------------------
-    def _ply_name(self, quantise=False, half_float=False):
+    def _ply_name(self, quantise=False, half_float=False, pack_xyz=False):
+        if pack_xyz:
+            # framework extension: f16 codebook centers + chunked
+            # fixed-point uint16 xyz (models/ply_io.py xyz_codec="u16c")
+            return "point_cloud_quantised_pack.ply"
         return ("point_cloud" + ("_quantised" if quantise else "")
                 + ("_half" if half_float else "") + ".ply")
 
     def save(self, iteration, codebook_dict=None, quantise=False,
-             half_float=False):
+             half_float=False, pack_xyz=False):
         pc_path = os.path.join(self.model_path, "point_cloud",
                                f"iteration_{iteration}")
         save_gaussian_ply(
-            os.path.join(pc_path, self._ply_name(quantise, half_float)),
+            os.path.join(pc_path,
+                         self._ply_name(quantise, half_float, pack_xyz)),
             self.pool, codebook_dict, quantised=quantise,
-            half_float=half_float)
+            half_float=half_float,
+            xyz_codec="u16c" if pack_xyz else None)
 
-    def load_model(self, quantised=False, half_float=False):
+    def load_model(self, quantised=False, half_float=False,
+                   pack_xyz=False):
         path = os.path.join(
             self.model_path, "point_cloud",
             f"iteration_{self.loaded_iter}",
-            self._ply_name(quantised, half_float))
-        arrs = load_gaussian_ply(path, quantised=quantised,
-                                 half_float=half_float)
+            self._ply_name(quantised, half_float, pack_xyz))
+        arrs = load_gaussian_ply(path, quantised=quantised or pack_xyz,
+                                 half_float=half_float or pack_xyz)
         self.pool = pool_from_arrays(arrs)
         return self.pool
 

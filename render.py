@@ -7,6 +7,8 @@ train/test splits for each requested model variant:
   baseline        point_cloud.ply
   quantised       point_cloud_quantised.ply
   quantised_half  point_cloud_quantised_half.ply
+  quantised_pack  point_cloud_quantised_pack.ply  (framework extension:
+                  chunked fixed-point uint16 xyz, same bytes as _half)
 
 plus per-view FPS measurement (render.py:43-51: one warmup pass, then a
 timed pass per view; here device-synchronized wall clock instead of CUDA
@@ -28,6 +30,8 @@ MODELS_CONFIG = {
     "baseline": {"quantised": False, "half_float": False},
     "quantised": {"quantised": True, "half_float": False},
     "quantised_half": {"quantised": True, "half_float": True},
+    "quantised_pack": {"quantised": False, "half_float": False,
+                       "pack_xyz": True},
 }
 
 
@@ -72,7 +76,8 @@ def main():
     for model in args.models:
         conf = MODELS_CONFIG[model]
         pool = scene.load_model(quantised=conf["quantised"],
-                                half_float=conf["half_float"])
+                                half_float=conf["half_float"],
+                                pack_xyz=conf.get("pack_xyz", False))
 
         ragged = None
         if variable_sh:

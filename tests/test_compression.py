@@ -129,6 +129,41 @@ def test_ply_roundtrip_quantised_half(tmp_path):
     _roundtrip(str(tmp_path), quantised=True, half_float=True, atol=2e-3)
 
 
+def test_ply_roundtrip_pack_xyz(tmp_path):
+    """quantised_pack variant: chunked fixed-point u16 xyz must
+    round-trip ~16x tighter than float16 at the same 6 bytes/row, and
+    autodetect on load via the xyz_chunk_bounds element."""
+    pool = make_pool()
+    cb = kmeans.produce_clusters(pool, jax.random.PRNGKey(0))
+    path = os.path.join(str(tmp_path), "pack.ply")
+    save_gaussian_ply(path, pool, cb, quantised=True, half_float=True,
+                      xyz_codec="u16c")
+    data = read_ply(path)
+    assert "xyz_chunk_bounds" in data
+    assert data["vertex_1"].dtype["x"] == np.dtype("<u2")
+    # codec autodetected (no explicit xyz_codec)
+    arrs = load_gaussian_ply(path, quantised=True, half_float=True)
+    alive = np.asarray(pool.alive)
+    want_all = np.asarray(pool.params.xyz)[alive]
+    degs = np.asarray(pool.degrees)[alive]
+    span = want_all.max(0) - want_all.min(0)
+    for d in range(4):
+        got = np.sort(arrs["xyz"][arrs["degrees"] == d], axis=0)
+        want = np.sort(want_all[degs == d], axis=0)
+        # error bound: one u16 step of the whole extent (chunk boxes
+        # are never larger); f16 at this magnitude would be ~16x worse
+        np.testing.assert_allclose(got, want,
+                                   atol=float(span.max()) / 65535 + 1e-7)
+    # same bytes as the plain _half layout + ~24B per 256-row chunk
+    half_path = os.path.join(str(tmp_path), "half.ply")
+    save_gaussian_ply(half_path, pool, cb, quantised=True,
+                      half_float=True)
+    n_chunks = sum(-(-int(((np.asarray(pool.degrees) == d) & alive).sum())
+                     // 256) for d in range(4))
+    overhead = os.path.getsize(path) - os.path.getsize(half_path)
+    assert overhead <= 24 * n_chunks + 200  # + bounds element header
+
+
 def test_ply_format_matches_reference_schema(tmp_path):
     """Element names/properties must match gaussian_model.py:239-311."""
     pool = make_pool()

@@ -55,6 +55,63 @@ def test_lpips_runs_with_npz(tmp_path):
     assert abs(d_ab - float(fn(b, a))) < 1e-6
 
 
+def test_lpips_matches_torch_mirror(tmp_path):
+    """Cross-backend golden: the SAME random weights driven through an
+    independent plain-torch transcription of the reference LPIPS
+    pipeline (lpipsPyTorch/modules/lpips.py:8-36 forward: scaling
+    normalize, VGG16 conv/relu/maxpool stacks tapped at the 5 relu
+    blocks, unit channel normalization, 1x1 non-negative heads, spatial
+    mean, sum over layers) must agree with the JAX implementation to
+    float tolerance.  With the real torchvision weights absent this is
+    the tightest wiring check available; dropping a real
+    weights/lpips_vgg.npz in place upgrades it to true parity for free
+    (ops/lpips.py export_weights_from_torch)."""
+    import torch
+
+    path = _random_weights(tmp_path)
+    fn = L.lpips_fn(path)
+    data = np.load(path)
+
+    rng = np.random.default_rng(5)
+    a = rng.uniform(0, 1, (48, 48, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.15, a.shape), 0, 1).astype(np.float32)
+
+    def torch_lpips(img1, img2):
+        shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+        def feats(img):
+            x = torch.from_numpy(img).permute(2, 0, 1)[None] * 2.0 - 1.0
+            x = (x - shift) / scale
+            out = []
+            ci = 0
+            for spec in L._VGG_CFG:
+                if spec == "M":
+                    x = torch.nn.functional.max_pool2d(x, 2, 2)
+                    continue
+                w = torch.from_numpy(data[f"conv{ci}_weight"])
+                bias = torch.from_numpy(data[f"conv{ci}_bias"])
+                x = torch.nn.functional.conv2d(x, w, bias, padding=1)
+                x = torch.nn.functional.relu(x)
+                if ci in L._TAPS:
+                    out.append(x)
+                ci += 1
+            return out
+
+        total = 0.0
+        for fa, fb, k in zip(feats(img1), feats(img2), range(5)):
+            na = fa / fa.norm(dim=1, keepdim=True).clamp_min(1e-10)
+            nb = fb / fb.norm(dim=1, keepdim=True).clamp_min(1e-10)
+            lin = torch.from_numpy(data[f"lin{k}_weight"])
+            d = torch.nn.functional.conv2d((na - nb) ** 2, lin)
+            total = total + d.mean(dim=(2, 3)).sum()
+        return float(total)
+
+    got = float(fn(a, b))
+    want = torch_lpips(a, b)
+    assert abs(got - want) < 5e-5 * max(1.0, abs(want)), (got, want)
+
+
 def test_lpips_missing_weights_degrades():
     assert L.lpips_fn("/nonexistent/weights.npz") is None
 

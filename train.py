@@ -325,6 +325,9 @@ def main():
                                  max_sh_degree=dataset.sh_degree)
     scene.save(opt.iterations, codebooks, quantise=True)
     scene.save(opt.iterations, codebooks, quantise=True, half_float=True)
+    # framework extension: same bytes as _half, chunked-u16 xyz codec
+    scene.save(opt.iterations, codebooks, quantise=True, half_float=True,
+               pack_xyz=True)
     print("\nTraining complete.")
 
 
