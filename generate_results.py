@@ -28,6 +28,7 @@ def memory_results(model_dir, iteration):
         ("baseline", "point_cloud.ply"),
         ("quantised", "point_cloud_quantised.ply"),
         ("quantised_half", "point_cloud_quantised_half.ply"),
+        ("quantised_pack", "point_cloud_quantised_pack.ply"),
     ]:
         path = os.path.join(base, fname)
         if not os.path.exists(path):
@@ -42,12 +43,15 @@ def memory_results(model_dir, iteration):
             deg = int(name.split("_")[1])
             coeffs = (deg + 1) ** 2 - 1
             attr = 3 + coeffs * 3 + 1 + 3 + 4  # dc + rest + op + scale + rot
-            xyz_b = 2 if "half" in variant else 4
+            half_like = "half" in variant or "pack" in variant
+            xyz_b = 2 if half_like else 4  # pack: u16 fixed-point
             attr_b = 1 if "quantised" in variant else xyz_b
             analytic += n * (3 * xyz_b + attr * attr_b)
         if "codebook_centers" in data:
-            width = 2 if "half" in variant else 4
+            width = 2 if ("half" in variant or "pack" in variant) else 4
             analytic += 256 * 20 * width
+        if "xyz_chunk_bounds" in data:
+            analytic += len(data["xyz_chunk_bounds"]) * 24
         rows[variant] = {
             "n_points": total,
             **{f"pct_band_{k.split('_')[1]}": 100.0 * v / max(total, 1)

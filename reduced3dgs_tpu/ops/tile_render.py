@@ -241,22 +241,23 @@ def _chunk_state(f, basis, cx, cy, idx_global, end, t_in, done_in):
     # at 1080p — the second pass hides behind the chunk DMA), so the
     # precision is free.
     power = _mm_xb(basis, coef, ((1,), (0,)))  # (256, K)
-    g = jnp.exp(jnp.minimum(power, 0.0))
-    alpha = jnp.minimum(ALPHA_CLAMP, op * g)
-
-    # the range test depends only on the lane, so build it (1, K) and
-    # let it broadcast into the (NPIX, K) mask chain
+    # Mask-chain fusion (round-5 VPU trim): the range test folds into
+    # the (1, K) opacity lanes and the power test folds into g, so the
+    # old 3-term (256, K) `valid` mask never materializes — alpha is 0
+    # exactly where any validity test fails, and `live` is one compare.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-    in_range = (idx_global + lane) < end
-    valid = in_range & (power <= POWER_EPS) & (alpha >= ALPHA_MIN)
-
-    a = jnp.where(valid, alpha, 0.0)
+    opm = jnp.where((idx_global + lane) < end, op, 0.0)  # (1, K)
+    g = jnp.where(power <= POWER_EPS,
+                  jnp.exp(jnp.minimum(power, 0.0)), 0.0)
+    alpha = jnp.minimum(ALPHA_CLAMP, opm * g)
+    live = alpha >= ALPHA_MIN
+    a = jnp.where(live, alpha, 0.0)
     lg = jnp.log1p(-a)
     exc = _scan_lanes(lg, excl=True)  # log prod_{j<i} (1-a_j)
     t_exc = t_in * jnp.exp(exc)  # T before instance i
     t_inc = t_exc * (1.0 - a)  # T after instance i
     not_done = done_in < 0.5
-    contrib = valid & not_done & (t_inc >= T_EPS)
+    contrib = live & not_done & (t_inc >= T_EPS)
     # t_inc is monotone along lanes (a >= 0), so "some pixel crossed
     # T_EPS in this chunk" is just the last column — no lane reduction.
     t_last = t_inc[:, K - 1: K]
@@ -572,9 +573,12 @@ def _bwd_kernel(grid_x, width, height, max_chunks, num_tiles, fast,
 
             gc = _mm1(gcol, st["rgb"], ((1,), (0,)))  # (256, K), 1 pass
             incl = prefix + _scan_lanes(w * gc)
-            one_m = jnp.where(contrib, 1.0 - a, 1.0)
-            dalpha = gc * t_exc - (q - incl) / one_m
-            dalpha = jnp.where(contrib, dalpha, 0.0)
+            # 1 - a >= 1 - ALPHA_CLAMP = 0.01 on every lane (a is
+            # clamped), so the divisor needs no contrib gating — the
+            # non-contrib quotient is finite garbage that the where
+            # discards (saves one (256, K) select per chunk)
+            dalpha = jnp.where(
+                contrib, gc * t_exc - (q - incl) / (1.0 - a), 0.0)
 
             # NOTE: like the reference (backward.cu:577,596), neither
             # the 0.99 alpha clamp nor the power<=0 clamp is gated in
@@ -895,16 +899,139 @@ def _rasterize_core(means2d, conic, opacity, color, binning, base,
 
 
 _CS_LANES = 1024  # cumsum kernel block width (b_pad is a multiple)
+_PICK_W = 256  # boundary-pick output window (bounds per flush)
 
 
-def _cumsum9_kernel(ncols, x_ref, o_ref, carry):
-    """Exclusive prefix sum along axis 1 of a (ncols, B) block stream.
+def _pick_step(i, ncols, nwin8, ngrp, wlast_ref, x, zb_hbm, out_hbm,
+               acc, zbuf, wstate, zsem, osem):
+    """Streaming in-kernel boundary pick (PROFILE.md round-5 item 2b).
+
+    Folds `jnp.take(pse, seg_bounds, axis=1)` (measured 7.8 ms at 1080p
+    as an XLA column gather) into the cumsum stream: the absolute
+    exclusive-prefix block `x` (ncols, _CS_LANES) for chunk i is already
+    in registers, and the sorted bounds are consumed window by window —
+    the current _PICK_W-bound output window accumulates its picks via an
+    exact two-pass split matmul against a one-hot (hi + lo reconstructs
+    f32 exactly, so the picked values are bitwise the stored prefixes),
+    flushes with an aligned (16, W) DMA when its last bound falls inside
+    this chunk, and advances.  Robust to ANY bound density: clusters of
+    empty segments (culled primitives share one position) just complete
+    several windows in one chunk.
+
+    wstate (SMEM, int32): [w_cur, zb_group_cur, out_pend0, out_pend1].
+    zbuf: (2, 8, _PICK_W) double-buffered zb window groups.
+    acc:  (2, FEAT_ROWS, _PICK_W) per-window accumulators; the slot
+          being accumulated is w%2, flushed by DMA on completion.
+    """
+    chunk_end = (i + 1) * _CS_LANES
+    x_hi, x_lo = _bf16_split(x)
+    d = ((1,), (0,))
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_CS_LANES, 1), 0)
+
+    def zdma(g, slot):
+        return pltpu.make_async_copy(
+            zb_hbm.at[g], zbuf.at[slot], zsem.at[slot])
+
+    def odma(w, slot):
+        off = pl.multiple_of(w * _PICK_W, _PICK_W)
+        return pltpu.make_async_copy(
+            acc.at[slot], out_hbm.at[:, pl.ds(off, _PICK_W)],
+            osem.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        wstate[0] = 0
+        wstate[1] = 0
+        wstate[2] = 0
+        wstate[3] = 0
+        acc[0] = jnp.zeros((FEAT_ROWS, _PICK_W), jnp.float32)
+        acc[1] = jnp.zeros((FEAT_ROWS, _PICK_W), jnp.float32)
+        zdma(0, 0).start()
+
+        @pl.when(ngrp > 1)
+        def _():
+            zdma(1, 1).start()
+
+        zdma(0, 0).wait()
+
+    def enter_group(w):
+        # ensure window w's zb group is resident; prefetch the next one
+        g = w // 8
+
+        @pl.when(g != wstate[1])
+        def _():
+            zdma(g, jax.lax.rem(g, 2)).wait()
+
+            @pl.when(g + 1 < ngrp)
+            def _():
+                zdma(g + 1, jax.lax.rem(g + 1, 2)).start()
+
+            wstate[1] = g
+
+    def contrib(w):
+        # add this chunk's picks for window w into acc[w%2]
+        g2 = jax.lax.rem(w // 8, 2)
+        wl = jax.lax.rem(w, 8)
+        grp = zbuf[g2]  # (8, W)
+        row = jnp.sum(jnp.where(sub == wl, grp, 0), axis=0,
+                      keepdims=True)  # (1, W) select one sublane
+        oh = (lane == (row - i * _CS_LANES)).astype(jnp.float32)
+        slot = jax.lax.rem(w, 2)
+        acc[slot, 0:ncols, :] += _mm1(x_hi, oh, d) + _mm1(x_lo, oh, d)
+
+    def cond(w):
+        return (w < nwin8) & (
+            wlast_ref[jnp.minimum(w, nwin8 - 1)] < chunk_end)
+
+    def body(w):
+        enter_group(w)
+        contrib(w)
+        slot = jax.lax.rem(w, 2)
+        odma(w, slot).start()
+        wstate[2 + slot] = 1
+        # prepare the slot window w+1 will accumulate into
+        nslot = 1 - slot
+
+        @pl.when(wstate[2 + nslot] == 1)
+        def _():
+            odma(w, nslot).wait()
+            wstate[2 + nslot] = 0
+
+        acc[nslot] = jnp.zeros((FEAT_ROWS, _PICK_W), jnp.float32)
+        return w + 1
+
+    w = jax.lax.while_loop(cond, body, wstate[0])
+
+    # partial contribution of the (incomplete) current window
+    @pl.when(w < nwin8)
+    def _():
+        enter_group(w)
+        contrib(w)
+
+    wstate[0] = w
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        # all windows complete by the last chunk (bounds < b_pad);
+        # drain the in-flight flushes
+        for sl in (0, 1):
+            @pl.when(wstate[2 + sl] == 1)
+            def _():
+                odma(0, sl).wait()
+
+
+def _cumsum9_kernel(ncols, nwin8, ngrp, wlast_ref, x_ref, zb_hbm,
+                    out_hbm, carry, acc, zbuf, wstate, zsem, osem):
+    """Exclusive prefix sum along axis 1 of a (ncols, B) block stream,
+    fused with the streaming boundary pick (_pick_step).
 
     XLA lowers each 1-D cumsum to its own hierarchical reduce-window
     (~0.34 ms per column per 2.2M rows on v5e); this kernel streams all
     columns in one bandwidth-bound pass, scanning 128-lane blocks as
     exclusive triangular matmuls on the MXU with an f32 running carry
-    (same split-bf16 2-pass precision as _scan_lanes).
+    (same split-bf16 2-pass precision as _scan_lanes).  The prefix
+    blocks never reach HBM — only the (16, nwin8*W) picked windows do.
     """
     i = pl.program_id(0)
 
@@ -922,11 +1049,15 @@ def _cumsum9_kernel(ncols, x_ref, o_ref, carry):
         hi, lo = _bf16_split(blk)
         outs.append(_mm1(hi, t, d) + _mm1(lo, t, d) + c)
         c = c + jnp.sum(blk, axis=1, keepdims=True)
-    o_ref[...] = jnp.concatenate(outs, axis=1)
     carry[...] = c
+    _pick_step(i, ncols, nwin8, ngrp, wlast_ref,
+               jnp.concatenate(outs, axis=1), zb_hbm, out_hbm,
+               acc, zbuf, wstate, zsem, osem)
 
 
-def _cumsum_packed_kernel(npack, nout, x_ref, o_ref, carry):
+def _cumsum_packed_kernel(npack, nout, nwin8, ngrp, wlast_ref, x_ref,
+                          zb_hbm, out_hbm, carry, acc, zbuf, wstate,
+                          zsem, osem):
     """Like _cumsum9_kernel, but the input rows are bf16x2-PACKED int32
     and the unpack happens in-register: widening a bf16 to f32 is
     exactly "append 16 zero bits", so hi = bitcast_f32(v & 0xFFFF0000)
@@ -956,32 +1087,62 @@ def _cumsum_packed_kernel(npack, nout, x_ref, o_ref, carry):
         hi, lo = _bf16_split(blk)
         outs.append(_mm1(hi, t, d) + _mm1(lo, t, d) + c)
         c = c + jnp.sum(blk, axis=1, keepdims=True)
-    o_ref[...] = jnp.concatenate(outs, axis=1)
     carry[...] = c
+    _pick_step(i, nout, nwin8, ngrp, wlast_ref,
+               jnp.concatenate(outs, axis=1), zb_hbm, out_hbm,
+               acc, zbuf, wstate, zsem, osem)
+
+
+def _pick_scratch(ncols):
+    return [
+        pltpu.VMEM((ncols, 1), jnp.float32),  # carry
+        pltpu.VMEM((2, FEAT_ROWS, _PICK_W), jnp.float32),  # acc
+        pltpu.VMEM((2, 8, _PICK_W), jnp.int32),  # zb window groups
+        pltpu.SMEM((4,), jnp.int32),  # w_cur, g_cur, pend0, pend1
+        pltpu.SemaphoreType.DMA((2,)),  # zsem
+        pltpu.SemaphoreType.DMA((2,)),  # osem
+    ]
 
 
 @functools.cache
-def _build_cumsum_packed(npack, nout, b_pad, interpret):
+def _build_cumsum_packed(npack, nout, b_pad, nwin8, interpret):
+    ngrp = nwin8 // 8
     return pl.pallas_call(
-        functools.partial(_cumsum_packed_kernel, npack, nout),
-        grid=(b_pad // _CS_LANES,),
-        in_specs=[pl.BlockSpec((npack, _CS_LANES), lambda i: (0, i))],
-        out_specs=pl.BlockSpec((nout, _CS_LANES), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((nout, b_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((nout, 1), jnp.float32)],
+        functools.partial(_cumsum_packed_kernel, npack, nout, nwin8,
+                          ngrp),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # per-window last bound
+            grid=(b_pad // _CS_LANES,),
+            in_specs=[
+                pl.BlockSpec((npack, _CS_LANES), lambda i, w: (0, i)),
+                pl.BlockSpec(memory_space=pl.ANY),  # zb (ngrp, 8, W)
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=_pick_scratch(nout),
+        ),
+        out_shape=jax.ShapeDtypeStruct((FEAT_ROWS, nwin8 * _PICK_W),
+                                       jnp.float32),
         interpret=interpret,
     )
 
 
 @functools.cache
-def _build_cumsum9(ncols, b_pad, interpret):
+def _build_cumsum9(ncols, b_pad, nwin8, interpret):
+    ngrp = nwin8 // 8
     return pl.pallas_call(
-        functools.partial(_cumsum9_kernel, ncols),
-        grid=(b_pad // _CS_LANES,),
-        in_specs=[pl.BlockSpec((ncols, _CS_LANES), lambda i: (0, i))],
-        out_specs=pl.BlockSpec((ncols, _CS_LANES), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((ncols, b_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((ncols, 1), jnp.float32)],
+        functools.partial(_cumsum9_kernel, ncols, nwin8, ngrp),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b_pad // _CS_LANES,),
+            in_specs=[
+                pl.BlockSpec((ncols, _CS_LANES), lambda i, w: (0, i)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=_pick_scratch(ncols),
+        ),
+        out_shape=jax.ShapeDtypeStruct((FEAT_ROWS, nwin8 * _PICK_W),
+                                       jnp.float32),
         interpret=interpret,
     )
 
@@ -1077,18 +1238,31 @@ def _segment_reduce_by_src(cols, binning: BinningOut, grad_reduce="f32"):
     else:
         raise ValueError(f"unknown grad_reduce {grad_reduce!r}")
     zb = binning.seg_bounds
-    # ONE fused Pallas pass for all n prefix sums, then one batched
-    # boundary pick at the (monotone) bounds: exclusive prefixes make
-    # v[:, r] the sum before slot zb[r], so segment sums are adjacent
-    # differences with no leading-zero padding or masking.  The bf16x2
-    # path feeds the PACKED int32 rows straight in (in-register unpack).
+    # ONE fused Pallas pass for all n prefix sums WITH the boundary pick
+    # folded in (_pick_step): exclusive prefixes make v[:, r] the sum
+    # before slot zb[r], so segment sums are adjacent differences.  The
+    # prefix array itself never reaches HBM — the kernel emits only the
+    # picked (16, nwin*W) windows (the XLA take alone measured 7.8 ms at
+    # 1080p; the pick rides the stream for ~1-2 ms).  The bf16x2 path
+    # feeds the PACKED int32 rows straight in (in-register unpack).
+    npb = num_p + 1
+    nwin8 = -(-npb // _PICK_W)
+    nwin8 = -(-nwin8 // 8) * 8  # zb DMA groups of 8 windows
+    # pad bounds with the FINAL bound (edge), not 0: a window's
+    # completion test reads its LAST entry, and a zero pad would flush
+    # the last real window at chunk 0 before its real bounds stream by
+    zbp = jnp.pad(zb, (0, nwin8 * _PICK_W - npb), mode="edge")
+    zb3 = zbp.reshape(nwin8 // 8, 8, _PICK_W)
+    wlast = zbp[_PICK_W - 1::_PICK_W]  # (nwin8,) per-window last bound
     if sorted_cols is None:
-        pse = _build_cumsum_packed(
-            stacked_packed.shape[0], n, b_pad, _interpret())(stacked_packed)
+        picked = _build_cumsum_packed(
+            stacked_packed.shape[0], n, b_pad, nwin8, _interpret())(
+            wlast, stacked_packed, zb3)
     else:
         stacked = jnp.stack(sorted_cols, axis=0)  # (n, B_pad)
-        pse = _build_cumsum9(n, b_pad, _interpret())(stacked)
-    v = jnp.take(pse, zb, axis=1)  # (n, P+1)
+        picked = _build_cumsum9(n, b_pad, nwin8, _interpret())(
+            wlast, stacked, zb3)
+    v = picked[0:n, :npb]  # (n, P+1)
     d = (v[:, 1:] - v[:, :-1]).T[binning.prim_inv]  # rank -> original id
     return [d[:, i] for i in range(d.shape[1])]
 

@@ -145,6 +145,52 @@ def test_strip_rendering_matches_full(scene):
     np.testing.assert_allclose(got, np.asarray(full.color), atol=1e-6)
 
 
+def test_segment_reduce_multichunk_ragged_bounds():
+    """Direct _segment_reduce_by_src check at a MULTI-cumsum-chunk size
+    with P+1 not a multiple of the pick window, empty-segment clusters
+    and a truncated tail — the regime the fused in-kernel boundary pick
+    must handle (regression: a zero-padded bounds array flushed the last
+    real window at chunk 0 and dropped its picks; only surfaced past
+    one 1024-lane chunk, which the render-level tests never reach)."""
+    from reduced3dgs_tpu.ops import tile_render as tr
+    from reduced3dgs_tpu.ops.binning import BinningOut, _MAXI
+
+    p = 700  # p+1 = 701: not a multiple of _PICK_W=256
+    rng = np.random.default_rng(3)
+    lens = rng.poisson(9, p).astype(np.int64)
+    lens[:60] = 0  # empty cluster sharing one bound position
+    lens[rng.integers(0, p, 40)] = 0
+    offsets = np.cumsum(lens)
+    nv = int(offsets[-1])
+    b_pad = 8192  # 8 cumsum chunks
+    assert nv < b_pad
+    seg_bounds = np.concatenate([[0], offsets]).astype(np.int32)
+    key = np.full(b_pad, _MAXI, np.int32)
+    key[:nv] = np.repeat(np.arange(p), lens).astype(np.int32)
+    perm = rng.permutation(p).astype(np.int32)
+    inv = np.empty(p, np.int32)
+    inv[perm] = np.arange(p, dtype=np.int32)
+    binning = BinningOut(
+        gauss_aligned=jnp.asarray(key),
+        tile_id=jnp.zeros(b_pad, jnp.int32),
+        tile_ranges=jnp.zeros((2, 1), jnp.int32),
+        num_rendered=jnp.int32(nv), total_padded=jnp.int32(nv),
+        seg_bounds=jnp.asarray(seg_bounds),
+        prim_order=jnp.asarray(perm), prim_inv=jnp.asarray(inv),
+    )
+    cols_np = [rng.normal(0, 1, b_pad).astype(np.float32)
+               for _ in range(9)]
+    outs = tr._segment_reduce_by_src(
+        [jnp.asarray(c) for c in cols_np], binning, "f32")
+    ref = np.zeros((p, 9))
+    for j, c in enumerate(cols_np):
+        for r in range(p):
+            ref[r, j] = c[seg_bounds[r]:seg_bounds[r + 1]].sum(
+                dtype=np.float64)
+    got = np.stack([np.asarray(o) for o in outs], axis=1)
+    np.testing.assert_allclose(got, ref[inv], rtol=2e-5, atol=2e-4)
+
+
 def test_bf16x2_grad_reduce_accuracy(scene):
     """--grad_reduce bf16x2 packs gradient column pairs into one int32
     sort payload: per-instance bf16 rounding must stay a small relative
