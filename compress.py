@@ -8,6 +8,15 @@ Framework extensions beyond the reference CLI:
   --pack_xyz      also write point_cloud_quantised_pack.ply (chunked
                   fixed-point uint16 xyz + f16 codebook centers — same
                   bytes as _half with none of the f16 xyz PSNR cost)
+  --prune_frac F  before quantising, prune the F lowest-opacity
+                  fraction of primitives and (with --finetune_iters N
+                  and -s <data>) fine-tune N plain iterations so the
+                  surviving splats re-absorb the pruned mass — the
+                  offline analogue of the reference's in-training mercy
+                  pruning (train.py:146-150).  Measured on the
+                  synthetic eval: F=0.17, N=2000 turns the x17.6
+                  quantised_pack model into x20.5 at no PSNR cost
+                  (RESULTS.md).
 """
 
 from __future__ import annotations
@@ -28,9 +37,12 @@ def main():
     parser.add_argument("--iteration", default=-1, type=int)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--pack_xyz", action="store_true")
+    parser.add_argument("--prune_frac", type=float, default=0.0)
+    parser.add_argument("--finetune_iters", type=int, default=0)
     args = C.get_combined_args(parser)
 
     import jax
+    import numpy as np
 
     from reduced3dgs_tpu.models.ply_io import (
         load_gaussian_ply, pool_from_arrays, save_gaussian_ply,
@@ -46,6 +58,54 @@ def main():
                         f"iteration_{iteration}")
     pool = pool_from_arrays(
         load_gaussian_ply(os.path.join(base, "point_cloud.ply")))
+
+    if args.prune_frac > 0.0:
+        import jax.numpy as jnp
+
+        alive = np.asarray(pool.alive)
+        op = 1.0 / (1.0 + np.exp(-np.asarray(pool.params.opacity[:, 0])))
+        k = int(alive.sum() * args.prune_frac)
+        cut = np.argsort(np.where(alive, op, np.inf))[:k]
+        mask = alive.copy()
+        mask[cut] = False
+        pool = pool._replace(alive=jnp.asarray(mask))
+        print(f"Pruned {k} lowest-opacity primitives "
+              f"({int(alive.sum())} -> {int(mask.sum())})")
+        if args.finetune_iters > 0:
+            from reduced3dgs_tpu.config import (
+                OptimizationParams, extract_model,
+            )
+            from reduced3dgs_tpu.scene import Scene
+            from reduced3dgs_tpu.train.trainer import Trainer
+
+            scene = Scene(extract_model(args), load_iteration=iteration,
+                          shuffle=False)
+            start = iteration
+            cfg = OptimizationParams(
+                iterations=start + args.finetune_iters,
+                position_lr_max_steps=start,
+                densify_from_iter=0, densify_until_iter=0,
+                opacity_reset_interval=10 ** 9,
+            )
+            tr = Trainer(pool, cfg, scene.get_train_cameras(),
+                         spatial_lr_scale=scene.cameras_extent,
+                         background=np.zeros(3), scene=scene,
+                         grad_reduce="bf16x2")
+            tr.extent = scene.cameras_extent
+            it = start + 1
+            end = start + args.finetune_iters
+            while it <= end:
+                group = [i for i in range(it, min(it + 16, end + 1))
+                         if tr.fusible(i)]
+                if group and group[0] == it:
+                    tr.step_group(group)
+                    it = group[-1] + 1
+                else:
+                    tr.step(it)
+                    it += 1
+            pool = tr.state.pool
+            print(f"Fine-tuned {args.finetune_iters} iterations")
+
     print(f"Quantising {base} ({int(pool.num_alive)} primitives)")
     codebooks = produce_clusters(pool, jax.random.PRNGKey(args.seed))
     save_gaussian_ply(os.path.join(base, "point_cloud_quantised.ply"),

@@ -23,11 +23,13 @@ P-sized ops, dense (B,) vectors, one MXU matmul and ONE B-sized sort:
     f32 accumulator is exact below 2^24) — no sorted array is needed to
     find tile ranges, killing the pre-alignment sort and the
     searchsorted range scan entirely,
-  * instance slot -> owning primitive ("expand") is a marker scatter
-    (P descriptors) + prefix scan per broadcast value — a monotone
-    cummax for (gauss, start), a telescoping delta-cumsum for the
-    packed rect word — all on dense (B,) int32 vectors; searchsorted
-    here would be ~11 rounds of B-sized gathers (~90 ms/M measured),
+  * instance slot -> owning primitive ("expand") is ONE streaming
+    Pallas pass (_expand_kernel): windowed limb-delta matmuls against
+    the sorted mark positions reproduce "value at last mark <= slot"
+    for (rank, rect word, segment start) exactly, with no B-sized
+    scatter or prefix op (the scatter+cumsum formulation it replaced
+    cost ~11 ms at the 1080p budget; searchsorted would be ~11 rounds
+    of B-sized gathers at ~90 ms/M measured),
   * the *K-aligned relocation* (every tile's range starts at a multiple
     of K so Pallas chunk DMAs are lane-aligned and never cross tiles)
     rides the same single sort: synthetic padding instances carry
@@ -36,11 +38,15 @@ P-sized ops, dense (B,) vectors, one MXU matmul and ONE B-sized sort:
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from reduced3dgs_tpu.ops.preprocess import PreprocessOut, tile_grid
 
@@ -74,6 +80,13 @@ class BinningOut(NamedTuple):
     # per-Gaussian reduction into cumsum + boundary differences
     prim_order: jnp.ndarray  # (P,) int32 original primitive id per rank
     prim_inv: jnp.ndarray  # (P,) int32 depth rank per original id
+    feat_rank: jnp.ndarray | None = None  # (P, 9) f32 render features
+    # [x2d, y2d, cxx, cxy, cyy, op, r, g, b] in DEPTH-RANK order: the 9
+    # columns ride the depth sort as payload (~0.1 ms per P-column)
+    # instead of a post-sort (P, 9) row gather (~2.4 ms measured,
+    # descriptor-bound).  stop_gradient'd: the rasterizer custom VJP
+    # computes these gradients analytically, so the autodiff path
+    # through the sort must stay dead (no zero-cotangent transpose).
 
     @property
     def pad_mask(self):
@@ -119,41 +132,252 @@ def depth_key(depths):
     return jax.lax.bitcast_convert_type(depths, jnp.int32)
 
 
-def _scatter_deltas(mark_pos, values, budget):
-    """Scatter telescoping deltas v[p] - v[prev marked p] at mark_pos.
+# ---------------------------------------------------------------------------
+# streaming expand kernel
+#
+# The expand (instance slot -> owning primitive's rank / rect / segment
+# start) was two P-descriptor marker scatters into B-sized buffers plus
+# three B-sized prefix passes (cumsum x2 + cummax) — ~11 ms at the 1080p
+# budget, all descriptor/bandwidth-bound XLA ops.  Every expanded value
+# is "value at the last mark <= slot", i.e. a prefix sum of telescoping
+# per-mark deltas, so ONE streaming Pallas pass computes all of them:
+# marks (sorted, compacted) are consumed in _EXP_W-wide windows, each
+# chunk of 1024 slots takes the window's step matrix LE[s, m] =
+# (pos_m <= s) and one (16, W) @ (1024, W)^T MXU pass of the delta
+# limbs.  EXACTNESS: every quantity is decomposed into base-256 limbs —
+# limb deltas are in (-256, 256), exactly representable in bf16, their
+# partial sums stay < 2^16, and the reconstructed limb telescopes back
+# to the true digit, so one DEFAULT-precision bf16 pass is bit-exact.
+# ---------------------------------------------------------------------------
 
-    mark_pos: (P,) scatter slot per primitive (budget = dropped).
-    values:   list of (P,) int32.  Returns one (budget,) int32 delta
-    buffer per value; `jnp.cumsum` of it reproduces, at every slot,
-    the value of the last marked slot <= it (partial sums are exactly
-    v[last marked primitive], so no intermediate overflow can occur).
-    Scatters are descriptor-bound (~8 ns/descriptor), so callers keep
-    the column count minimal.
+_CS = 1024  # slot chunk (lanes per grid step)
+_EXP_W = 256  # marks per window
+_EXP_ROWS = 16  # limb rows per window buffer (10 live: 3+4+3)
+
+_FORCE_INTERPRET = os.environ.get("R3DGS_PALLAS_INTERPRET", "") == "1"
+
+
+def _interpret() -> bool:
+    return _FORCE_INTERPRET or jax.default_backend() != "tpu"
+
+
+def _expand_kernel(nwin8, ngrp, plast_ref, pos_hbm, limb_hbm, out_hbm,
+                   pbuf, lbuf, obuf, carry, wstate, psem, lsem, osem):
+    """One grid step = one 1024-slot chunk.
+
+    wstate (SMEM): [w_cur, pos_group_cur, limb_waited_max, opend0,
+    opend1].  pbuf: (2, 8, W) int32 mark-position window groups (like
+    the pick kernel's zb groups); lbuf: (2, 16, W) f32 per-window delta
+    limbs; carry: (16, 1) f32 running limb value at the last consumed
+    mark; obuf: (2, 8, _CS) int32 double-buffered output blocks (rows
+    0..2 = gauss/rect/start; TPU requires >= 8 sublanes per DMA block).
+    Pad windows carry pos = last-chunk sentinel and zero deltas, so
+    every window completes by the final chunk and all DMAs are waited.
     """
-    marked = mark_pos < budget
-    # Deltas between CONSECUTIVE MARKED values via one P-sized
-    # compaction sort: marked rows sort to the front in rank order
-    # (unique iota keys), so the previous-marked value is just the
-    # previous sorted row.  NOT an associative_scan with an ffill
-    # combiner — associative_scan unrolls a log-depth slice/concat
-    # network whose XLA graph explodes past ~2^22 rows (the remote
-    # compile hangs; bisected round 4); and NOT cummax+gather — P-row
-    # gathers cost ~8 ns/descriptor where a P-sort payload column costs
-    # ~0.1 ms.  Unmarked rows tie on the sentinel key and produce
-    # garbage deltas, but they carry mark_pos == budget and are dropped
-    # by the scatter.
-    p = marked.shape[0]
+    c = pl.program_id(0)
+    chunk_end = (c + 1) * _CS
+    slots = c * _CS + jax.lax.broadcasted_iota(jnp.int32, (_CS, 1), 0)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+    def pdma(g, slot):
+        return pltpu.make_async_copy(
+            pos_hbm.at[g], pbuf.at[slot], psem.at[slot])
+
+    def ldma(w, slot):
+        return pltpu.make_async_copy(
+            limb_hbm.at[w], lbuf.at[slot], lsem.at[slot])
+
+    def odma(cc, slot):
+        off = pl.multiple_of(cc * _CS, _CS)
+        return pltpu.make_async_copy(
+            obuf.at[slot], out_hbm.at[:, pl.ds(off, _CS)], osem.at[slot])
+
+    @pl.when(c == 0)
+    def _():
+        wstate[0] = 0
+        wstate[1] = 0
+        wstate[2] = -1
+        wstate[3] = 0
+        wstate[4] = 0
+        carry[...] = jnp.zeros((_EXP_ROWS, 1), jnp.float32)
+        pdma(0, 0).start()
+
+        @pl.when(ngrp > 1)
+        def _():
+            pdma(1, 1).start()
+
+        pdma(0, 0).wait()
+        ldma(0, 0).start()
+
+        @pl.when(nwin8 > 1)
+        def _():
+            ldma(1, 1).start()
+
+    def ensure_window(w):
+        g = w // 8
+
+        @pl.when(g != wstate[1])
+        def _():
+            pdma(g, jax.lax.rem(g, 2)).wait()
+
+            @pl.when(g + 1 < ngrp)
+            def _():
+                pdma(g + 1, jax.lax.rem(g + 1, 2)).start()
+
+            wstate[1] = g
+
+        @pl.when(w > wstate[2])
+        def _():
+            ldma(w, jax.lax.rem(w, 2)).wait()
+            wstate[2] = w
+
+    carry0 = carry[...]  # limb value at chunk entry (broadcasts below)
+
+    def cond(st):
+        w, out, cont = st
+        return cont & (w < nwin8)
+
+    def body(st):
+        w, out, _ = st
+        ensure_window(w)
+        g2 = jax.lax.rem(w // 8, 2)
+        wl = jax.lax.rem(w, 8)
+        pos = jnp.sum(jnp.where(sub == wl, pbuf[g2], 0), axis=0,
+                      keepdims=True)  # (1, W)
+        d = lbuf[jax.lax.rem(w, 2)]  # (16, W) f32 limb deltas
+        le = (pos <= slots).astype(jnp.float32)  # (1024, W)
+        out = out + jax.lax.dot_general(
+            d, le, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)  # (16, 1024), exact
+        complete = plast_ref[jnp.minimum(w, nwin8 - 1)] < chunk_end
+
+        @pl.when(complete)
+        def _():
+            carry[...] += jnp.sum(d, axis=1, keepdims=True)
+
+            @pl.when(w + 2 < nwin8)
+            def _():
+                ldma(w + 2, jax.lax.rem(w, 2)).start()
+
+        return (jnp.where(complete, w + 1, w), out, complete)
+
+    w, out, _ = jax.lax.while_loop(
+        cond, body,
+        (wstate[0], jnp.zeros((_EXP_ROWS, _CS), jnp.float32),
+         jnp.bool_(True)))
+    wstate[0] = w
+    out = out + carry0
+
+    def recomb(r0, n):
+        # integer recombination: each reconstructed limb is an exact
+        # small f32 integer, but their weighted SUM can exceed 2^24 —
+        # recombine with int32 shifts, not f32 adds
+        v = out[r0:r0 + 1, :].astype(jnp.int32)
+        for i in range(1, n):
+            v = v + (out[r0 + i:r0 + i + 1, :].astype(jnp.int32)
+                     << (8 * i))
+        return v
+
+    oslot = jax.lax.rem(c, 2)
+
+    @pl.when(wstate[3 + oslot] == 1)
+    def _():
+        odma(c, oslot).wait()
+
+    obuf[oslot, 0:1, :] = recomb(0, 3) - 1  # 1-based rank -> 0-based
+    obuf[oslot, 1:2, :] = recomb(3, 4)
+    obuf[oslot, 2:3, :] = recomb(7, 3)
+    obuf[oslot, 3:8, :] = jnp.zeros((5, _CS), jnp.int32)
+    odma(c, oslot).start()
+    wstate[3 + oslot] = 1
+
+    @pl.when(c == pl.num_programs(0) - 1)
+    def _():
+        for sl in (0, 1):
+            @pl.when(wstate[3 + sl] == 1)
+            def _():
+                odma(c, sl).wait()
+
+
+@functools.cache
+def _build_expand(bq_pad, nwin8, interpret):
+    ngrp = nwin8 // 8
+    nchunks = bq_pad // _CS
+    return pl.pallas_call(
+        functools.partial(_expand_kernel, nwin8, ngrp),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # per-window last mark position
+            grid=(nchunks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # pos (ngrp, 8, W)
+                pl.BlockSpec(memory_space=pl.ANY),  # limbs (nwin8,16,W)
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, 8, _EXP_W), jnp.int32),
+                pltpu.VMEM((2, _EXP_ROWS, _EXP_W), jnp.float32),
+                pltpu.VMEM((2, 8, _CS), jnp.int32),
+                pltpu.VMEM((_EXP_ROWS, 1), jnp.float32),
+                pltpu.SMEM((5,), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, bq_pad), jnp.int32),
+        interpret=interpret,
+    )
+
+
+def _limbs(v, n):
+    return [((v >> (8 * i)) & 255).astype(jnp.float32) for i in range(n)]
+
+
+def _expand_stream(mark_pos, rank1, rectpack, budget):
+    """Expand via the streaming kernel: returns (gauss_c, rect_c,
+    start_c) over `budget` slots — semantically identical to scattering
+    (rank1, rectpack, slot) markers at mark_pos and prefix-filling
+    (cumsum/cummax), without any B-sized scatter or prefix pass.
+    """
+    p = mark_pos.shape[0]
+    marked0 = mark_pos < budget
     iota = jnp.arange(p, dtype=jnp.int32)
-    sort_key = jnp.where(marked, iota, p)
-    srt = jax.lax.sort((sort_key, mark_pos) + tuple(values),
-                       num_keys=1, is_stable=False)
-    pos_s = srt[1]
-    outs = []
-    for v_s in srt[2:]:
-        prev = jnp.concatenate([jnp.zeros((1,), v_s.dtype), v_s[:-1]])
-        outs.append(jnp.zeros((budget,), jnp.int32).at[pos_s].add(
-            v_s - prev, mode="drop"))
-    return outs
+    sort_key = jnp.where(marked0, iota, p)
+    # marked rows compact to the front in rank order (P-sized sort;
+    # scatters are ~8 ns/descriptor where a sort column is ~0.1 ms)
+    _, pos_s, rk_s, rc_s, m_s = jax.lax.sort(
+        (sort_key, mark_pos, rank1, rectpack, marked0.astype(jnp.int32)),
+        num_keys=1, is_stable=False)
+    marked_s = m_s == 1
+    bq_pad = -(-budget // _CS) * _CS
+
+    nwin = -(-p // _EXP_W)
+    nwin8 = -(-nwin // 8) * 8
+    ppad = nwin8 * _EXP_W
+    sentinel = jnp.int32(bq_pad - 1)  # completes in the final chunk
+
+    def padp(x, v):
+        return jnp.pad(x, (0, ppad - p), constant_values=v)
+
+    pos_le = padp(jnp.where(marked_s, pos_s, sentinel), bq_pad - 1)
+    # telescoping per-limb deltas vs the previous MARKED row (marked
+    # rows are compacted, so the previous row is the previous mark);
+    # unmarked/pad rows contribute zero
+    cols = (_limbs(rk_s, 3) + _limbs(rc_s, 4)
+            + _limbs(jnp.where(marked_s, pos_s, 0), 3))
+    dl = []
+    for v in cols:
+        prev = jnp.concatenate([jnp.zeros((1,), v.dtype), v[:-1]])
+        dl.append(padp(jnp.where(marked_s, v - prev, 0.0), 0.0))
+    dl += [jnp.zeros((ppad,), jnp.float32)] * (_EXP_ROWS - len(dl))
+
+    pos3 = pos_le.reshape(nwin8 // 8, 8, _EXP_W)
+    limbs = jnp.stack([d.reshape(nwin8, _EXP_W) for d in dl], axis=1)
+    plast = pos_le[_EXP_W - 1::_EXP_W]
+
+    out = _build_expand(bq_pad, nwin8, _interpret())(plast, pos3, limbs)
+    return out[0, :budget], out[1, :budget], out[2, :budget]
 
 
 def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
@@ -204,10 +428,23 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
     # 16K x 16K image's 1024-wide tile grid)
     rpack0 = ((rx0 << 20) | (ry0 << 10)
               | (jnp.maximum(rx1 - rx0, 1) - 1))  # | (w-1)
-    _, order, rectpack, counts = jax.lax.sort(
+    # the 9 render-feature columns [x2d, y2d, cxx, cxy, cyy, op, r, g,
+    # b] ride the same sort (stop_gradient: the rasterizer custom VJP
+    # owns their gradients; see BinningOut.feat_rank) — a P-sort payload
+    # column costs ~0.1 ms where the post-sort (P, 9) row gather this
+    # replaces measured 2.4 ms at 2^19 (descriptor-bound)
+    sg = jax.lax.stop_gradient
+    feat_cols = tuple(
+        sg(c) for c in (
+            prep.means2d[:, 0], prep.means2d[:, 1], prep.conic[:, 0],
+            prep.conic[:, 1], prep.conic[:, 2], prep.opacity,
+            prep.color[:, 0], prep.color[:, 1], prep.color[:, 2]))
+    srt = jax.lax.sort(
         (depth_key(prep.depths), jnp.arange(p, dtype=jnp.int32),
-         rpack0, counts0),
+         rpack0, counts0) + feat_cols,
         num_keys=1, is_stable=True)
+    _, order, rectpack, counts = srt[:4]
+    feat_rank = jnp.stack(srt[4:], axis=1)  # (P, 9) depth-rank order
     # inverse permutation by sorting (order, iota): a P-descriptor
     # scatter costs ~8 ns/descriptor (3.7 ms at 2^19) where the s32
     # sort costs ~0.35 ms
@@ -262,27 +499,18 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
     tcounts = count2d.reshape(num_tiles).astype(jnp.int32)
 
     # --- expand: instance slot -> owning primitive ---------------------
-    # scatter one marker per non-empty primitive at its start slot
-    # (P descriptors, P << B) and prefix-fill.  TWO scattered columns
-    # only (scatters are descriptor-bound): the 1-based rank is
-    # strictly increasing across marks, so its delta buffer is nonzero
-    # exactly at the marks and the segment start (the third broadcast
-    # value) falls out as a running max of marked slot indices.
+    # one streaming Pallas pass (_expand_stream): every expanded value
+    # is "value at the last mark <= slot", computed as windowed
+    # limb-delta matmuls against the sorted mark positions.  Replaces
+    # two P-descriptor marker scatters + cumsum x2 + cummax over the
+    # budget (~11 ms at the 1080p budget; the kernel streams it).
     slot = jnp.arange(budget, dtype=jnp.int32)
     starts_all = offsets - counts
     mark_pos = jnp.where(counts > 0, starts_all, budget)
 
-    dg, dr = _scatter_deltas(
-        mark_pos, [jnp.arange(1, p + 1, dtype=jnp.int32), rectpack],
+    gauss_c, rect_c, start_c = _expand_stream(
+        mark_pos, jnp.arange(1, p + 1, dtype=jnp.int32), rectpack,
         budget)
-    gauss_c = jnp.cumsum(dg) - 1  # 1-based back to 0-based rank
-    rect_c = jnp.cumsum(dr)
-    # cummax, NOT associative_scan(maximum): associative_scan unrolls a
-    # log-depth slice/concat network whose XLA graph explodes past ~2^22
-    # rows — the remote compile hangs indefinitely at the 1080p budget
-    # (bisected round 4); cummax lowers to the same well-behaved
-    # reduce-window path as cumsum.
-    start_c = jax.lax.cummax(jnp.where(dg != 0, slot, 0), axis=0)
 
     # rank within the primitive's rect -> tile coordinates, row-major
     # over the rect exactly like the nested loop in duplicateWithKeys
@@ -375,4 +603,5 @@ def bin_gaussians(prep: PreprocessOut, width: int, height: int, budget: int,
         seg_bounds=seg_bounds,
         prim_order=order,
         prim_inv=prim_inv,
+        feat_rank=feat_rank,
     )

@@ -208,3 +208,43 @@ def test_slack_overflow_trips_regrow_contract():
                                np.asarray(ref.color), atol=1e-6)
     # and the recovered image actually contains the splats
     assert float(jnp.asarray(out.color).max()) > 0.1
+
+
+def test_expand_stream_matches_scatter_semantics():
+    """Direct _expand_stream check at MULTI-chunk scale against the
+    scatter+cumsum/cummax semantics it replaced: values at every slot
+    equal the (rank-1, rectpack, start-slot) of the last marked
+    primitive at-or-before it, 0-series (-1 for rank) before the first
+    mark, with empty (unmarked) primitives interleaved and clustered."""
+    rng = np.random.default_rng(11)
+    p = 700
+    budget = 8192 + 1024  # 9 chunks
+    counts = rng.poisson(11, p).astype(np.int64)
+    counts[:80] = 0
+    counts[rng.integers(0, p, 60)] = 0
+    offsets = np.cumsum(counts)
+    assert offsets[-1] < budget
+    starts = (offsets - counts).astype(np.int32)
+    mark_pos = np.where(counts > 0, starts, budget).astype(np.int32)
+    rank1 = np.arange(1, p + 1, dtype=np.int32)
+    rectpack = rng.integers(0, 1 << 30, p, dtype=np.int64).astype(
+        np.int32)
+
+    g, r, s = binning._expand_stream(
+        jnp.asarray(mark_pos), jnp.asarray(rank1), jnp.asarray(rectpack),
+        budget)
+
+    # reference: scatter deltas + prefix fill in numpy
+    ref_g = np.zeros(budget, np.int64)
+    ref_r = np.zeros(budget, np.int64)
+    ref_s = np.zeros(budget, np.int64)
+    last = (0, 0, 0)
+    marks = {int(mp): i for i, mp in enumerate(mark_pos) if mp < budget}
+    for slot in range(budget):
+        if slot in marks:
+            i = marks[slot]
+            last = (int(rank1[i]), int(rectpack[i]), slot)
+        ref_g[slot], ref_r[slot], ref_s[slot] = last
+    np.testing.assert_array_equal(np.asarray(g), ref_g - 1)
+    np.testing.assert_array_equal(np.asarray(r), ref_r)
+    np.testing.assert_array_equal(np.asarray(s), ref_s)

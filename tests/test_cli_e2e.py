@@ -224,12 +224,18 @@ def test_cli_pipeline(tmp_path):
     qkey = "test_quantised_half/ours_120"
     assert results[qkey]["PSNR"] > results[key]["PSNR"] - 6, results
 
-    run_cli("compress.py", "-m", model)
+    # offline compressor with the framework extensions: pack-xyz codec
+    # + opacity pruning + a short fine-tune (compress.py docstring)
+    run_cli("compress.py", "-m", model, "--pack_xyz",
+            "--prune_frac", "0.1", "--finetune_iters", "8")
     q = os.path.join(model, "point_cloud", "iteration_120",
                      "point_cloud_quantised_half.ply")
     base = os.path.join(model, "point_cloud", "iteration_120",
                         "point_cloud.ply")
     assert os.path.getsize(q) < os.path.getsize(base)
+    pack = os.path.join(model, "point_cloud", "iteration_120",
+                        "point_cloud_quantised_pack.ply")
+    assert os.path.getsize(pack) < os.path.getsize(base)
 
     # results aggregation (generate_results.py): memory model + metrics
     # merge into the summary table (reference generate_results.py:43-138)
