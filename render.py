@@ -143,8 +143,15 @@ def main():
         if cams:
             w, h = cams[0].width, cams[0].height
             cams_f = [c for c in cams if (c.width, c.height) == (w, h)]
+            # small view sets are repeated inside the ONE launch so the
+            # timed window is >= ~0.25 s — a single pass over 4 views
+            # (~35 ms) measured against the tunnel's ~1-30 ms dispatch
+            # jitter produced +-15% FPS noise between runs
+            n_views = len(cams_f)
+            reps = max(1, -(-32 // n_views))
             cps = jax.tree.map(
-                lambda *leaves: jnp.stack([jnp.asarray(x) for x in leaves]),
+                lambda *leaves: jnp.stack(
+                    [jnp.asarray(x) for x in leaves] * reps),
                 *[c.params() for c in cams_f])
             # start small and let the ladder find each model's TIGHT
             # bucket: every instance-sized cost (binning sort, expand,
@@ -201,13 +208,14 @@ def main():
             last, _ = go(jnp.float32(1e-6), pool, cps, budget)
             jax.block_until_ready(last)
             dt = time.perf_counter() - t0
-            if dt < 0.0002 * len(cams_f):
+            total_views = n_views * reps
+            if dt < 0.0002 * total_views:
                 raise RuntimeError(
-                    f"implausible FPS timing {dt:.4f}s for {len(cams_f)} "
+                    f"implausible FPS timing {dt:.4f}s for {total_views} "
                     "views: stale tunnel result suspected")
-            fps_results[model] = float(len(cams_f) / dt)
+            fps_results[model] = float(total_views / dt)
             print(f"Model {model}: {fps_results[model]:.1f} FPS "
-                  f"({len(cams_f)} views in one launch)")
+                  f"({n_views} views x {reps} reps in one launch)")
 
     with open(os.path.join(args.model_path, "fps_results.json"), "w") as f:
         json.dump(fps_results, f, indent=2)
