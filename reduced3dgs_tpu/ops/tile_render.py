@@ -289,23 +289,6 @@ def _tile_info(t, grid_x, width, height):
     return cx, cy, pix_ok.astype(jnp.float32)
 
 
-def _kernel_pack_bf16x2(a, b):
-    """In-kernel (1, K) f32 pair -> ONE int32 row of (bf16(a)|bf16(b)).
-
-    Pure 32-bit ops around supported converts: bf16(x) widened back to
-    f32 has exactly x's bf16 bits in the TOP halfword and zeros below,
-    so the pack is a mask/shift/or — no 16-bit bitcasts (which Mosaic
-    lowers poorly).  Bit-identical to the XLA-side _pack_bf16x2 layout
-    the packed cumsum kernel unpacks.
-    """
-    himask = jnp.int32(-65536)  # 0xFFFF0000
-    ah = jax.lax.bitcast_convert_type(
-        a.astype(jnp.bfloat16).astype(jnp.float32), jnp.int32)
-    bh = jax.lax.bitcast_convert_type(
-        b.astype(jnp.bfloat16).astype(jnp.float32), jnp.int32)
-    return (ah & himask) | ((bh >> 16) & 0xFFFF)
-
-
 def _zero_fill_tail(vbuf, dst, sem, pend, c0, i_from, i_to):
     """Write zero chunks for chunk slots [c0+i_from, c0+i_to).
 
@@ -628,37 +611,23 @@ def _bwd_kernel(grid_x, width, height, max_chunks, num_tiles, fast,
             def _():
                 out_dma(ds).wait()
 
-            g0 = -(cxx * ex + cxy * ey)
-            g1 = -(cyy * ey + cxy * ex)
-            g2 = -0.5 * (x * x * m1 - 2.0 * x * mx + mxx)
-            g3 = -(x * y * m1 - x * my - y * mx + mxy)
-            g4 = -0.5 * (y * y * m1 - 2.0 * y * my + myy)
-            g5 = jnp.where(op > 0.0, m1 / jnp.where(
+            # NOTE (round-5 A/B): packing these rows bf16x2 IN-KERNEL
+            # (5 int32 rows, half the output DMA) measured NEUTRAL at
+            # 1080p and -3% at 720p/512p — the pack's bf16 converts sit
+            # on the compute-bound kernel's critical path, while the
+            # XLA-side pack it would replace overlaps with bandwidth.
+            # Keep the f32 rows + XLA pack.
+            dbuf[ds, 0:1, :] = -(cxx * ex + cxy * ey)
+            dbuf[ds, 1:2, :] = -(cyy * ey + cxy * ex)
+            dbuf[ds, 2:3, :] = -0.5 * (x * x * m1 - 2.0 * x * mx + mxx)
+            dbuf[ds, 3:4, :] = -(x * y * m1 - x * my - y * mx + mxy)
+            dbuf[ds, 4:5, :] = -0.5 * (y * y * m1 - 2.0 * y * my + myy)
+            dbuf[ds, 5:6, :] = jnp.where(op > 0.0, m1 / jnp.where(
                 op > 0.0, op, 1.0), 0.0)  # dop = colsum(g*dalpha)
-            if fast:
-                # pack gradient pairs bf16x2 IN-KERNEL: the reduction
-                # sort consumes exactly these 5 int32 payload rows, so
-                # the XLA-side (16,B) bf16 convert + pack fusions and
-                # half the output DMA bytes disappear
-                dbuf[ds, 0:1, :] = _kernel_pack_bf16x2(g0, g1)
-                dbuf[ds, 1:2, :] = _kernel_pack_bf16x2(g2, g3)
-                dbuf[ds, 2:3, :] = _kernel_pack_bf16x2(g4, g5)
-                dbuf[ds, 3:4, :] = _kernel_pack_bf16x2(
-                    dcol[0:1, :], dcol[1:2, :])
-                dbuf[ds, 4:5, :] = _kernel_pack_bf16x2(
-                    dcol[2:3, :], jnp.zeros((1, K), jnp.float32))
-                dbuf[ds, 5:8, :] = jnp.zeros((3, K), dbuf.dtype)
-            else:
-                dbuf[ds, 0:1, :] = g0
-                dbuf[ds, 1:2, :] = g1
-                dbuf[ds, 2:3, :] = g2
-                dbuf[ds, 3:4, :] = g3
-                dbuf[ds, 4:5, :] = g4
-                dbuf[ds, 5:6, :] = g5
-                dbuf[ds, 6:9, :] = dcol
-                if FEAT_ROWS > 9:
-                    dbuf[ds, 9:FEAT_ROWS, :] = jnp.zeros(
-                        (FEAT_ROWS - 9, K), jnp.float32)
+            dbuf[ds, 6:9, :] = dcol
+            if FEAT_ROWS > 9:
+                dbuf[ds, 9:FEAT_ROWS, :] = jnp.zeros(
+                    (FEAT_ROWS - 9, K), jnp.float32)
             out_dma(ds).start()
             pend[ds] = 1
             return i + 1, st["t_out"], incl[:, K - 1: K], st["done"]
@@ -835,14 +804,11 @@ def _build_bwd(num_tiles, grid_x, width, height, b_pad, max_chunks,
                interpret, fast=False):
     kernel = functools.partial(_bwd_kernel, grid_x, width, height,
                                max_chunks, num_tiles, fast)
-    # fast mode emits bf16x2-PACKED gradient rows: 5 int32 rows (+3
-    # alignment pad) instead of 9 f32 (+7 pad) — half the output bytes
-    drows, ddtype = (8, jnp.int32) if fast else (FEAT_ROWS, jnp.float32)
     return pl.pallas_call(
         kernel,
         grid_spec=_grid_spec(3, 1, [
             pltpu.VMEM((2, FEAT_ROWS, K), jnp.float32),
-            pltpu.VMEM((2, drows, K), ddtype),
+            pltpu.VMEM((2, FEAT_ROWS, K), jnp.float32),
             pltpu.VMEM((2, PIX_ROWS, NPIX), jnp.float32),
             pltpu.VMEM((2, PIX_ROWS, NPIX), jnp.float32),
             pltpu.SMEM((2,), jnp.int32),
@@ -850,7 +816,7 @@ def _build_bwd(num_tiles, grid_x, width, height, b_pad, max_chunks,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, 2)),
         ]),
-        out_shape=[jax.ShapeDtypeStruct((drows, b_pad), ddtype)],
+        out_shape=[jax.ShapeDtypeStruct((FEAT_ROWS, b_pad), jnp.float32)],
         interpret=interpret,
     )
 
@@ -1235,8 +1201,7 @@ def _unpack_bf16x2(v):
     return hi.astype(jnp.float32), lo.astype(jnp.float32)
 
 
-def _segment_reduce_by_src(cols, binning: BinningOut, grad_reduce="f32",
-                           packed_cols=None, n_out=None):
+def _segment_reduce_by_src(cols, binning: BinningOut, grad_reduce="f32"):
     """Per-primitive sums of per-instance columns, WITHOUT a scatter.
 
     An XLA scatter-add over ~1M unsorted rows costs ~20 ms on v5e — it
@@ -1260,8 +1225,8 @@ def _segment_reduce_by_src(cols, binning: BinningOut, grad_reduce="f32",
     """
     num_p = binning.seg_bounds.shape[0] - 1
     key = jnp.where(binning.pad_mask, num_p, binning.gauss_aligned)
-    n = n_out if cols is None else len(cols)
-    b_pad = (packed_cols[0] if cols is None else cols[0]).shape[0]
+    n = len(cols)
+    b_pad = cols[0].shape[0]
     if grad_reduce == "bf16x2":
         # production fast mode: pairs of gradient columns ride the sort
         # as ONE bf16-packed int32 each (the sort is the largest single
@@ -1270,14 +1235,9 @@ def _segment_reduce_by_src(cols, binning: BinningOut, grad_reduce="f32",
         # ~4e-3 relative, averaging down over a primitive's instances —
         # far above CUDA's atomics noise, so this is opt-in
         # (--grad_reduce bf16x2) and excluded from parity tests.
-        # packed_cols: rows the backward kernel packed IN-KERNEL
-        # (bit-identical layout, _kernel_pack_bf16x2).
-        if packed_cols is not None:
-            packs = list(packed_cols)
-        else:
-            padded = list(cols) + [jnp.zeros_like(cols[0])] * (n % 2)
-            packs = [_pack_bf16x2(padded[i], padded[i + 1])
-                     for i in range(0, len(padded), 2)]
+        padded = list(cols) + [jnp.zeros_like(cols[0])] * (n % 2)
+        packs = [_pack_bf16x2(padded[i], padded[i + 1])
+                 for i in range(0, len(padded), 2)]
         srt = jax.lax.sort((key,) + tuple(packs), num_keys=1,
                            is_stable=False)
         sorted_cols = None  # unpack happens inside the cumsum kernel
@@ -1336,20 +1296,13 @@ def _core_bwd(width, height, num_rows, grad_reduce, res, g_packed):
         [base, (jnp.minimum(binning.total_padded, b_pad) // K).reshape(1)])
     (dfeat,) = bwd(base2, binning.tile_ranges, feat, g_packed, packed)
 
-    # dfeat is feature-major; rows carry gradients ((16, B) f32, or in
-    # fast mode (8, B) int32 with 5 live bf16x2-packed rows straight
-    # from the kernel).  Every slot the tiles never blend (alignment
-    # slack, truncated instances, the tail past total_padded) is
-    # exactly zero: slack lanes fail the in-range mask so every moment
-    # is 0, and the kernel zero-fills early-exit tails and the
-    # unwalked tail chunk space.
-    if grad_reduce == "bf16x2":
-        sums = _segment_reduce_by_src(
-            None, binning, grad_reduce,
-            packed_cols=tuple(dfeat[f] for f in range(5)), n_out=9)
-    else:
-        cols = tuple(dfeat[f] for f in range(9))
-        sums = _segment_reduce_by_src(cols, binning, grad_reduce)
+    # dfeat is (16, B_pad) feature-major; rows 0..8 carry gradients.
+    # Every slot the tiles never blend (alignment slack, truncated
+    # instances, the tail past total_padded) is exactly zero: slack
+    # lanes fail the in-range mask so every moment is 0, and the kernel
+    # zero-fills early-exit tails and the unwalked tail chunk space.
+    cols = tuple(dfeat[f] for f in range(9))
+    sums = _segment_reduce_by_src(cols, binning, grad_reduce)
     d_means2d = jnp.stack(sums[0:2], axis=1)
     d_conic = jnp.stack(sums[2:5], axis=1)
     d_opacity = sums[5]
