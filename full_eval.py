@@ -80,21 +80,40 @@ def main():
                         choices=list(configurations.keys()))
     parser.add_argument("--scenes", "-s", nargs="+", type=str,
                         default=all_scene_names, choices=all_scene_names)
+    parser.add_argument("--custom_scene", type=str, default=None,
+                        help="run the harness over ONE arbitrary scene "
+                             "directory instead of the paper's dataset "
+                             "lists (framework extension: lets the full "
+                             "chain run end-to-end where the paper "
+                             "datasets are unavailable)")
+    parser.add_argument("--iterations", type=int, default=None,
+                        help="override train.py --iterations (scaled "
+                             "runs of the harness)")
     parser.add_argument("--dry_run", action="store_true",
                         help="print the commands instead of running them")
     args = parser.parse_args()
     run = print if args.dry_run else os.system
 
-    scenes = (
-        [(args.mipnerf360, s, "-i images_4") for s in
-         mipnerf360_outdoor_scenes]
-        + [(args.mipnerf360, s, "-i images_2") for s in
-           mipnerf360_indoor_scenes]
-        + [(args.tanksandtemples, s, "") for s in tanks_and_temples_scenes]
-        + [(args.deepblending, s, "") for s in deep_blending_scenes]
-    )
+    if args.custom_scene:
+        scene_name = (os.path.basename(os.path.normpath(args.custom_scene))
+                      or "scene")
+        scenes = [(os.path.dirname(os.path.normpath(args.custom_scene)),
+                   scene_name, "")]
+        args.scenes = [scene_name]
+    else:
+        scenes = (
+            [(args.mipnerf360, s, "-i images_4") for s in
+             mipnerf360_outdoor_scenes]
+            + [(args.mipnerf360, s, "-i images_2") for s in
+               mipnerf360_indoor_scenes]
+            + [(args.tanksandtemples, s, "")
+               for s in tanks_and_temples_scenes]
+            + [(args.deepblending, s, "") for s in deep_blending_scenes]
+        )
 
     fps_flag = " --skip_measure_fps" if args.skip_measure_fps else ""
+    it_flag = (f" --iterations {args.iterations}"
+               if args.iterations else "")
     for config in args.experiments:
         extra = configurations[config]
         for root, scene, imgflag in scenes:
@@ -104,7 +123,7 @@ def main():
             out = os.path.join(args.output_path, scene, config)
             if not args.skip_training:
                 run(f"python train.py -s {src} {imgflag} -m {out} "
-                    f"--eval --quiet {extra}")
+                    f"--eval --quiet{it_flag} {extra}")
             if not args.skip_rendering:
                 run(f"python render.py -m {out} --eval --skip_train"
                     f"{fps_flag}")
