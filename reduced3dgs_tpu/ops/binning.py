@@ -151,7 +151,7 @@ def depth_key(depths):
 # ---------------------------------------------------------------------------
 
 _CS = 1024  # slot chunk (lanes per grid step)
-_EXP_W = 256  # marks per window
+_EXP_W = 128  # marks per window
 _EXP_ROWS = 16  # limb rows per window buffer (10 live: 3+4+3)
 
 _FORCE_INTERPRET = os.environ.get("R3DGS_PALLAS_INTERPRET", "") == "1"

@@ -910,7 +910,7 @@ def _rasterize_core(means2d, conic, opacity, color, binning, base,
 
 
 _CS_LANES = 1024  # cumsum kernel block width (b_pad is a multiple)
-_PICK_W = 256  # boundary-pick output window (bounds per flush)
+_PICK_W = 128  # boundary-pick output window (bounds per flush)
 
 
 def _pick_step(i, ncols, nwin8, ngrp, wlast_ref, x, zb_hbm, out_hbm,
