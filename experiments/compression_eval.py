@@ -227,8 +227,10 @@ def evaluate(data, model):
     results = {}
     for tag, q, h in [("baseline", False, False),
                       ("quantised", True, False),
-                      ("quantised_half", True, True)]:
-        scene.load_model(quantised=q, half_float=h)
+                      ("quantised_half", True, True),
+                      ("quantised_pack", False, False)]:
+        scene.load_model(quantised=q, half_float=h,
+                         pack_xyz=(tag == "quantised_pack"))
         pool = scene.pool
         ps, ss = [], []
         for cam in scene.get_test_cameras():
@@ -244,8 +246,11 @@ def evaluate(data, model):
             gt = jnp.asarray(cam.image)
             ps.append(float(psnr(img, gt)))
             ss.append(float(ssim(img, gt)))
-        name = ("point_cloud" + ("_quantised" if q else "")
-                + ("_half" if h else "") + ".ply")
+        if tag == "quantised_pack":
+            name = "point_cloud_quantised_pack.ply"
+        else:
+            name = ("point_cloud" + ("_quantised" if q else "")
+                    + ("_half" if h else "") + ".ply")
         path = os.path.join(model, "point_cloud", f"iteration_{ITER}", name)
         results[tag] = {
             "psnr": float(np.mean(ps)),
