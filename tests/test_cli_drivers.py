@@ -67,6 +67,25 @@ def test_full_eval_dry_run_baseline_has_no_reduction_flags():
         assert flag not in train
 
 
+def test_full_eval_custom_scene_composition():
+    """--custom_scene/--iterations (framework extension): one arbitrary
+    scene dir drives the same train/render/metrics chain."""
+    r = run_cli(["full_eval.py", "--dry_run", "-e", "full_final",
+                 "--custom_scene", "/data/myscene",
+                 "--iterations", "400", "--output_path", "/tmp/e"])
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.strip().splitlines()
+    trains = [ln for ln in lines if ln.startswith("python train.py")]
+    assert len(trains) == 1
+    assert "-s /data/myscene" in trains[0]
+    assert "--iterations 400" in trains[0]
+    assert "-m /tmp/e/myscene/full_final" in trains[0]
+    assert any("render.py -m /tmp/e/myscene/full_final" in ln
+               for ln in lines)
+    assert any("metrics.py -m /tmp/e/myscene/full_final" in ln
+               for ln in lines)
+
+
 # -- update_old_ply_format.py ------------------------------------------
 
 
