@@ -210,15 +210,17 @@ def test_slack_overflow_trips_regrow_contract():
     assert float(jnp.asarray(out.color).max()) > 0.1
 
 
-def test_expand_stream_matches_scatter_semantics():
+@pytest.mark.parametrize("p,budget", [(700, 8192 + 1024),
+                                      (2200, 32 * 1024)])
+def test_expand_stream_matches_scatter_semantics(p, budget):
     """Direct _expand_stream check at MULTI-chunk scale against the
     scatter+cumsum/cummax semantics it replaced: values at every slot
     equal the (rank-1, rectpack, start-slot) of the last marked
     primitive at-or-before it, 0-series (-1 for rank) before the first
-    mark, with empty (unmarked) primitives interleaved and clustered."""
+    mark, with empty (unmarked) primitives interleaved and clustered.
+    The larger case exercises the mark window-GROUP DMA rotation
+    (ngrp > 1) that small renders never reach."""
     rng = np.random.default_rng(11)
-    p = 700
-    budget = 8192 + 1024  # 9 chunks
     counts = rng.poisson(11, p).astype(np.int64)
     counts[:80] = 0
     counts[rng.integers(0, p, 60)] = 0

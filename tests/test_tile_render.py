@@ -145,24 +145,25 @@ def test_strip_rendering_matches_full(scene):
     np.testing.assert_allclose(got, np.asarray(full.color), atol=1e-6)
 
 
-def test_segment_reduce_multichunk_ragged_bounds():
+@pytest.mark.parametrize("p", [700, 2500])
+def test_segment_reduce_multichunk_ragged_bounds(p):
     """Direct _segment_reduce_by_src check at a MULTI-cumsum-chunk size
     with P+1 not a multiple of the pick window, empty-segment clusters
     and a truncated tail — the regime the fused in-kernel boundary pick
     must handle (regression: a zero-padded bounds array flushed the last
     real window at chunk 0 and dropped its picks; only surfaced past
-    one 1024-lane chunk, which the render-level tests never reach)."""
+    one 1024-lane chunk, which the render-level tests never reach).
+    p=2500 additionally exercises the zb window-GROUP DMA rotation
+    (ngrp > 1), which small renders never reach."""
     from reduced3dgs_tpu.ops import tile_render as tr
     from reduced3dgs_tpu.ops.binning import BinningOut, _MAXI
-
-    p = 700  # p+1 = 701: not a multiple of _PICK_W=256
     rng = np.random.default_rng(3)
     lens = rng.poisson(9, p).astype(np.int64)
-    lens[:60] = 0  # empty cluster sharing one bound position
-    lens[rng.integers(0, p, 40)] = 0
+    lens[:p // 10] = 0  # empty cluster sharing one bound position
+    lens[rng.integers(0, p, p // 16)] = 0
     offsets = np.cumsum(lens)
     nv = int(offsets[-1])
-    b_pad = 8192  # 8 cumsum chunks
+    b_pad = -(-(nv + 512) // 8192) * 8192  # multiple cumsum chunks
     assert nv < b_pad
     seg_bounds = np.concatenate([[0], offsets]).astype(np.int32)
     key = np.full(b_pad, _MAXI, np.int32)
