@@ -845,7 +845,15 @@ def _build_trans(num_tiles, grid_x, width, height, b_pad, max_chunks,
 # packing / assembly helpers
 # ---------------------------------------------------------------------------
 
-def _pack_features(means2d, conic, opacity, color, binning: BinningOut):
+# opacity fixed-point scale for the fast-mode packed table row: u16
+# quantisation of the (0, 1) sigmoid output — 1.5e-5 absolute error,
+# far below the alpha-threshold granularity (ALPHA_MIN = 1/255) and the
+# bf16 accumulation class fast mode already accepts.
+_OP_FIX = 65535.0
+
+
+def _pack_features(means2d, conic, opacity, color, binning: BinningOut,
+                   fast=False):
     """Gather aligned instances into a feature-major (16, B_pad) array.
 
     ONE contiguous row gather (gather cost on TPU is per descriptor, not
@@ -862,6 +870,19 @@ def _pack_features(means2d, conic, opacity, color, binning: BinningOut):
     window from the DMA engine instead makes the repack pass, its
     2 ms layout copy and the old identity-matmul transpose all
     unnecessary.)
+
+    fast (grad_reduce == "bf16x2" mode): the gather table is packed to
+    8 int32 rows — [x, y, cxx, cxy, cyy, r, g] bitcast f32 plus one row
+    of (u16-fixpoint opacity << 16 | bf16 blue) — and unpacked to the
+    same (16, B_pad) f32 layout after the gather, so the kernels are
+    untouched.  Measured (v5e, 1080p bench geometry): the (B, 9) f32
+    gather runs 27.2 ms, the (B, 8) i32 gather 21.8 ms — the narrower
+    row crosses a table line-efficiency threshold worth ~5 ms/step.
+    Storage error: opacity 1.5e-5 absolute (u16 fix), blue 2e-3
+    relative (bf16) — the same rounding class as the mode's 1-pass
+    bf16 colour accumulation (see _fwd_kernel mm_acc); the backward is
+    self-consistent because it reads the SAME table values.  Parity
+    (f32) mode keeps the exact 9-row f32 table.
     """
     if binning.feat_rank is not None:
         # the 9 columns rode the binning depth sort (binning.py): same
@@ -876,8 +897,35 @@ def _pack_features(means2d, conic, opacity, color, binning: BinningOut):
     # emitter always uses a feature-major ({0,1}) table at this size —
     # layout constraints are satisfied with copies, not by changing the
     # gather — and runs at ~6 ns/row with the table VMEM-resident vs
-    # ~22 ns/row from HBM.  Keeping the table small (P x9 f32) is what
-    # matters; the row-major pin experiments were a wash.
+    # ~22 ns/row from HBM.  Keeping the table small is what matters;
+    # the row-major pin experiments were a wash.
+    if fast:
+        # (P, 8) i32 packed table: P-scale pack, B-scale unpack, both
+        # one fused elementwise pass each — the 5 ms gather saving is
+        # the net win.
+        f32cols = jax.lax.bitcast_convert_type(
+            per_gaussian[:, (0, 1, 2, 3, 4, 6, 7)], jnp.int32)  # (P, 7)
+        opq = jnp.clip(jnp.round(per_gaussian[:, 5] * _OP_FIX),
+                       0.0, _OP_FIX).astype(jnp.int32)
+        bbits = jax.lax.bitcast_convert_type(
+            per_gaussian[:, 8].astype(jnp.bfloat16),
+            jnp.uint16).astype(jnp.int32)
+        row7 = (opq << 16) | bbits
+        table = jnp.concatenate([f32cols, row7[:, None]], axis=1)
+        g8 = table[binning.gauss_id()].T  # (8, B_pad) i32
+        # u32 view keeps the shift logical (opq >= 2^15 sets the i32
+        # sign bit; an arithmetic >> would smear it over the blue field)
+        r7 = jax.lax.bitcast_convert_type(g8[7:8], jnp.uint32)
+        op_row = (r7 >> 16).astype(jnp.float32) * (1.0 / _OP_FIX)
+        blue_row = jax.lax.bitcast_convert_type(
+            (r7 & 0xFFFF).astype(jnp.uint16),
+            jnp.bfloat16).astype(jnp.float32)
+        f32rows = jax.lax.bitcast_convert_type(g8[0:7], jnp.float32)
+        feat = jnp.concatenate([
+            f32rows[0:5], op_row, f32rows[5:7], blue_row,
+            jnp.zeros((FEAT_ROWS - TABLE_ROWS, b_pad), jnp.float32),
+        ], axis=0)
+        return feat, b_pad
     feat = per_gaussian[binning.gauss_id()]  # (B_pad, TABLE_ROWS) gather
     # .T is a free relabel when the gather emits feature-major (its
     # preference at this size); otherwise XLA inserts one copy — never
@@ -1162,7 +1210,8 @@ def _core_fwd(means2d, conic, opacity, color, binning, base, width, height,
               num_rows, grad_reduce="f32"):
     grid_x, _ = tile_grid(width, height)
     num_tiles = num_rows * grid_x
-    feat, b_pad = _pack_features(means2d, conic, opacity, color, binning)
+    feat, b_pad = _pack_features(means2d, conic, opacity, color, binning,
+                                 fast=(grad_reduce == "bf16x2"))
     max_chunks = pl.cdiv(b_pad, K)
     fwd = _build_fwd(num_tiles, grid_x, width, height, b_pad, max_chunks,
                      _interpret(), fast=(grad_reduce == "bf16x2"))
