@@ -216,3 +216,50 @@ def test_bf16x2_grad_reduce_accuracy(scene):
         scale = np.abs(np.asarray(a)).max()
         err = np.abs(np.asarray(a) - np.asarray(b)).max()
         assert err < 2e-2 * scale, (err, scale)
+
+
+def test_packed_feature_table_roundtrip():
+    """Direct unit test of _pack_features fast mode (8-row i32 table).
+
+    Locks the packing invariants independently of the end-to-end bf16x2
+    test: the 7 bitcast-f32 columns round-trip BITWISE, opacity
+    round-trips within its u16 fixed-point half-step, blue within bf16
+    rounding — and specifically with opacities >= 0.5, where the packed
+    row's int32 sign bit is set and an arithmetic (instead of logical)
+    unpack shift would smear the sign over the blue field.
+    """
+    from reduced3dgs_tpu.ops import binning as B
+    from reduced3dgs_tpu.ops.tile_render import (
+        FEAT_ROWS, _OP_FIX, _pack_features)
+
+    p, b_pad = 64, 256
+    rng = np.random.default_rng(11)
+    feat = np.zeros((p, 9), np.float32)
+    feat[:, 0] = rng.uniform(0, 2000, p)       # x2d at 1080p scale
+    feat[:, 1] = rng.uniform(0, 1100, p)       # y2d
+    feat[:, 2:5] = rng.normal(0, 5, (p, 3))    # conic
+    feat[:, 5] = rng.uniform(0.5, 1.0, p)      # opacity: sign bit SET
+    feat[:, 6:9] = rng.uniform(0, 4, (p, 3))   # clamped SH colors
+    gauss = rng.integers(0, p, b_pad).astype(np.int32)
+    gauss[-7:] = np.iinfo(np.int32).max  # a few pad (sentinel) slots
+    zero = jnp.zeros((p,), jnp.int32)
+    bo = B.BinningOut(
+        gauss_aligned=jnp.asarray(gauss), tile_id=jnp.zeros(b_pad, jnp.int32),
+        tile_ranges=jnp.zeros((2, 1), jnp.int32),
+        num_rendered=jnp.int32(b_pad), total_padded=jnp.int32(b_pad),
+        seg_bounds=jnp.zeros(p + 1, jnp.int32), prim_order=zero,
+        prim_inv=zero, feat_rank=jnp.asarray(feat))
+
+    exact, _ = _pack_features(None, None, None, None, bo, fast=False)
+    packed, _ = _pack_features(None, None, None, None, bo, fast=True)
+    assert exact.shape == packed.shape == (FEAT_ROWS, b_pad)
+    e, q = np.asarray(exact), np.asarray(packed)
+    # bitwise: x, y, conic (rows 0-4) and r, g (rows 6-7)
+    for row in (0, 1, 2, 3, 4, 6, 7):
+        np.testing.assert_array_equal(q[row], e[row], err_msg=f"row {row}")
+    # opacity: u16 fixed-point half-step
+    np.testing.assert_allclose(q[5], e[5], atol=0.5 / _OP_FIX + 1e-7, rtol=0)
+    # blue: bf16 rounding (no sign smear from the packed opacity bits)
+    np.testing.assert_allclose(q[8], e[8], rtol=2 ** -8, atol=0)
+    # pad rows above TABLE_ROWS stay zero
+    np.testing.assert_array_equal(q[9:], 0.0)
